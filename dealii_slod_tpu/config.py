@@ -1,0 +1,322 @@
+"""Configuration for the SLOD pipeline.
+
+Mirrors the parameter surface of the reference ``LODParameters<dim, spacedim>``
+(reference include/LOD.h:85-157): output directory/name, oversampling,
+number of subdivisions, number of global refinements, fine-solve toggle, SLOD
+stabilization toggle, constant-coefficient toggle, the parsed symbolic
+functions for right-hand side / exact solution / Dirichlet boundary values,
+and the two solver reduction controls.  Extends it with TPU-native knobs
+(dtype, patch chunking, device-mesh sharding) and the generalizations the
+TPU rebuild supports natively (3D, configurable coefficient fields — the
+reference hard-codes those, README:13-14).
+
+Parameters can also be loaded from a deal.II-style ``.prm`` file with
+:func:`SLODConfig.from_prm` so existing reference input files keep working.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from typing import Callable, Optional, Sequence, Union
+
+import numpy as np
+
+FunctionLike = Union[str, Sequence[str], Callable, float, int, None]
+
+
+# ---------------------------------------------------------------------------
+# Parsed symbolic functions (replacement for deal.II Functions::ParsedFunction)
+# ---------------------------------------------------------------------------
+
+_ALLOWED_NAMES = {
+    "x": None,
+    "y": None,
+    "z": None,
+    "pi": math.pi,
+    "e": math.e,
+    "sin": np.sin,
+    "cos": np.cos,
+    "tan": np.tan,
+    "exp": np.exp,
+    "log": np.log,
+    "ln": np.log,
+    "sqrt": np.sqrt,
+    "abs": np.abs,
+    "pow": np.power,
+    "atan": np.arctan,
+    "asin": np.arcsin,
+    "acos": np.arccos,
+    "sinh": np.sinh,
+    "cosh": np.cosh,
+    "tanh": np.tanh,
+    "floor": np.floor,
+    "ceil": np.ceil,
+    "min": np.minimum,
+    "max": np.maximum,
+    "if": lambda c, a, b: np.where(c, a, b),
+    "where": np.where,
+}
+
+
+class ParsedFunction:
+    """A (vector-valued) function of space given by muparser-style expressions.
+
+    This replaces deal.II ``Functions::ParsedFunction`` (used for
+    ``/Problem/Right hand side``, ``Exact solution`` and ``Dirichlet boundary
+    conditions`` in the reference, include/LOD.h:104-106, :123-125).
+
+    ``exprs`` is one expression string per component, e.g. ``["1", "0"]``
+    or a single semicolon-separated string ``"1; 0"``.  A Python callable
+    ``f(points[..., dim]) -> values[..., n_components]`` is accepted directly.
+    A scalar constant broadcasts to all components.
+    """
+
+    def __init__(self, spec: FunctionLike, n_components: int, dim: int):
+        self.n_components = n_components
+        self.dim = dim
+        if spec is None:
+            spec = "0"
+        if callable(spec):
+            self._fn = spec
+            self._exprs = None
+            return
+        if isinstance(spec, (int, float)):
+            spec = [repr(float(spec))] * n_components
+        if isinstance(spec, str):
+            spec = [s.strip() for s in spec.split(";")]
+            if len(spec) == 1 and n_components > 1:
+                spec = spec * n_components
+        exprs = list(spec)
+        if len(exprs) != n_components:
+            raise ValueError(
+                f"expected {n_components} component expressions, got {len(exprs)}"
+            )
+        self._exprs = [self._compile(e) for e in exprs]
+        self._fn = None
+
+    @staticmethod
+    def _compile(expr: str):
+        # muparser uses ^ for power
+        expr = re.sub(r"\^", "**", expr)
+        code = compile(expr, "<parsed-function>", "eval")
+        for name in code.co_names:
+            if name not in _ALLOWED_NAMES:
+                raise ValueError(f"disallowed name {name!r} in expression {expr!r}")
+        return code
+
+    def __call__(self, points: np.ndarray) -> np.ndarray:
+        """Evaluate at ``points[..., dim]`` -> ``values[..., n_components]``."""
+        points = np.asarray(points)
+        if self._fn is not None:
+            out = np.asarray(self._fn(points))
+            if out.shape[-1] != self.n_components:
+                out = np.broadcast_to(
+                    out[..., None], points.shape[:-1] + (self.n_components,)
+                )
+            return out
+        env = dict(_ALLOWED_NAMES)
+        env["x"] = points[..., 0]
+        env["y"] = points[..., 1] if self.dim > 1 else 0.0
+        env["z"] = points[..., 2] if self.dim > 2 else 0.0
+        comps = []
+        for code in self._exprs:
+            v = eval(code, {"__builtins__": {}}, env)  # noqa: S307 (vetted names)
+            comps.append(np.broadcast_to(np.asarray(v, dtype=np.float64),
+                                         points.shape[:-1]))
+        return np.stack(comps, axis=-1)
+
+    def is_zero(self) -> bool:
+        if self._exprs is None:
+            return False
+        probe = np.zeros((1, self.dim))
+        try:
+            return bool(np.all(self(probe) == 0.0)) and all(
+                e.co_names == () and "0" == "0" for e in self._exprs
+            )
+        except Exception:
+            return False
+
+
+@dataclasses.dataclass
+class ReductionControl:
+    """Iterative-solver stopping rule, mirroring deal.II ``ReductionControl``
+    (include/LOD.h:108-109): stop when the residual drops below
+    ``max? no — below tolerance OR below reduce * initial_residual``,
+    or after ``max_steps`` iterations."""
+
+    max_steps: int = 100
+    tolerance: float = 1.0e-10
+    reduce: float = 1.0e-2
+
+
+@dataclasses.dataclass
+class SLODConfig:
+    """Full problem + runtime configuration (reference include/LOD.h:85-157)."""
+
+    # --- discretization (reference parameter names in comments) -----------
+    dim: int = 2                      # mesh dimension (reference fixes 2)
+    n_components: int = 1             # 'spacedim' in the reference: 1=diffusion, dim=elasticity
+    oversampling: int = 1             # "Oversampling"
+    n_subdivisions: int = 2           # "Number of subdivisions"
+    n_global_refinements: int = 2     # "Number of global refinements"
+    solve_fine_problem: bool = True   # "Compare with fine global solution"
+    lod_stabilization: bool = False   # "Stabilize phi_LOD candidates"
+    constant_coefficients: bool = True  # "Coefficients/Constant problem coefficients"
+
+    # --- problem data ------------------------------------------------------
+    rhs: FunctionLike = "1"
+    exact_solution: FunctionLike = "0"
+    bc: FunctionLike = "0"
+
+    # --- solver controls ---------------------------------------------------
+    fine_solver: ReductionControl = dataclasses.field(
+        default_factory=lambda: ReductionControl(max_steps=1000))
+    coarse_solver: ReductionControl = dataclasses.field(
+        default_factory=lambda: ReductionControl(max_steps=1000))
+
+    # --- coefficient field (hard-coded in reference, Diffusion.h:62,
+    #     Elasticity.h:104-105; configurable here per README TODO) ----------
+    coef_min: float = 1.0
+    coef_max: float = 100.0
+    coef_refinement: int = 8          # random field lives on a 2^r per-axis grid
+    coef_seed: int = 0
+
+    # --- output ------------------------------------------------------------
+    output_directory: str = "."       # "Output directory"
+    output_name: str = "solution"     # "Output name"
+    write_output: bool = False
+
+    # --- TPU runtime -------------------------------------------------------
+    dtype: str = "float64"            # compute dtype ("float64" on CPU tests,
+                                      # "float32" for TPU speed)
+    patch_chunk: int = 0              # patches per vmapped chunk (0 = all at once)
+    mesh_axis: str = "patches"        # device-mesh axis name for patch sharding
+    n_devices: int = 0                # 0 = single device / no sharding
+    svd_threshold: float = 1.0e-15    # relative truncation in the stabilization
+                                      # pseudo-inverse (LOD.cc:667)
+
+    # ----------------------------------------------------------------------
+    @property
+    def n_coarse(self) -> int:
+        """Coarse cells per axis, N = 2^n_global_refinements (LOD.cc:113-114)."""
+        return 2 ** self.n_global_refinements
+
+    @property
+    def H(self) -> float:
+        return 1.0 / self.n_coarse
+
+    @property
+    def h(self) -> float:
+        return self.H / self.n_subdivisions
+
+    def parsed(self, spec: FunctionLike) -> ParsedFunction:
+        return ParsedFunction(spec, self.n_components, self.dim)
+
+    @property
+    def rhs_fn(self) -> ParsedFunction:
+        return self.parsed(self.rhs)
+
+    @property
+    def exact_fn(self) -> ParsedFunction:
+        return self.parsed(self.exact_solution)
+
+    @property
+    def bc_fn(self) -> ParsedFunction:
+        return self.parsed(self.bc)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_prm(cls, path: str, **overrides) -> "SLODConfig":
+        """Load a deal.II-style ``.prm`` parameter file (subset).
+
+        Understands the parameter names written by the reference apps
+        (``./Diffusion parameters.prm``, README:3).
+        """
+        text = open(path).read()
+        cfg: dict = {}
+        section: list = []
+
+        def seteq(name, value):
+            key = "/".join(section + [name])
+            cfg[key] = value
+
+        for raw in text.splitlines():
+            line = raw.split("#")[0].strip()
+            if not line:
+                continue
+            m = re.match(r"subsection\s+(.*)", line)
+            if m:
+                section.append(m.group(1).strip())
+                continue
+            if line == "end":
+                if section:
+                    section.pop()
+                continue
+            m = re.match(r"set\s+([^=]+)=\s*(.*)", line)
+            if m:
+                seteq(m.group(1).strip(), m.group(2).strip())
+
+        def get(key, default=None):
+            for k, v in cfg.items():
+                if k.endswith(key):
+                    return v
+            return default
+
+        def as_bool(v, default):
+            if v is None:
+                return default
+            return v.strip().lower() in ("true", "1", "yes", "on")
+
+        kw = dict(
+            oversampling=int(get("Oversampling", 1)),
+            n_subdivisions=int(get("Number of subdivisions", 2)),
+            n_global_refinements=int(get("Number of global refinements", 2)),
+            solve_fine_problem=as_bool(get("Compare with fine global solution"), True),
+            lod_stabilization=as_bool(get("Stabilize phi_LOD candidates"), False),
+            constant_coefficients=as_bool(get("Constant problem coefficients"), True),
+            output_directory=get("Output directory", "."),
+            output_name=get("Output name", "solution"),
+        )
+        rhs = get("Right hand side/Function expression")
+        if rhs is not None:
+            kw["rhs"] = rhs
+        exact = get("Exact solution/Function expression")
+        if exact is not None:
+            kw["exact_solution"] = exact
+        bc = get("Dirichlet boundary conditions/Function expression")
+        if bc is not None:
+            kw["bc"] = bc
+        kw.update(overrides)
+        return cls(**kw)
+
+    def to_prm(self) -> str:
+        """Emit a deal.II-style ``.prm`` text (mirror of the reference's
+        used_parameters dump, LOD.cc:60-62)."""
+        rhs = self.rhs if isinstance(self.rhs, str) else "<callable>"
+        exact = self.exact_solution if isinstance(self.exact_solution, str) else "<callable>"
+        bc = self.bc if isinstance(self.bc, str) else "<callable>"
+        return (
+            "subsection Problem\n"
+            f"  set Compare with fine global solution = {str(self.solve_fine_problem).lower()}\n"
+            f"  set Number of global refinements = {self.n_global_refinements}\n"
+            f"  set Number of subdivisions = {self.n_subdivisions}\n"
+            f"  set Output directory = {self.output_directory}\n"
+            f"  set Output name = {self.output_name}\n"
+            f"  set Oversampling = {self.oversampling}\n"
+            f"  set Stabilize phi_LOD candidates = {str(self.lod_stabilization).lower()}\n"
+            "  subsection Coefficients\n"
+            f"    set Constant problem coefficients = {str(self.constant_coefficients).lower()}\n"
+            "  end\n"
+            "  subsection Dirichlet boundary conditions\n"
+            f"    set Function expression = {bc}\n"
+            "  end\n"
+            "  subsection Exact solution\n"
+            f"    set Function expression = {exact}\n"
+            "  end\n"
+            "  subsection Right hand side\n"
+            f"    set Function expression = {rhs}\n"
+            "  end\n"
+            "end\n"
+        )

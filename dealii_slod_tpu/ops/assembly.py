@@ -1,0 +1,164 @@
+"""Batched FE assembly as tensor contractions + static scatters.
+
+Replaces the reference's FEValues subcell-loop assembly
+(include/Diffusion.h:111-207, include/Elasticity.h:163-299) and its
+Trilinos sparse-matrix storage with:
+
+- per-subcell element matrices by contraction of constant reference tensors
+  with per-quadrature-point coefficients (`make_subcell_matrices`),
+- dense per-patch stiffness via a single static scatter-add
+  (`assemble_dense_batch`),
+- a matrix-free global fine-grid operator (`FineOperator`) used for the
+  reference fine FEM solve (source/LOD.cc:1004-1094) — no sparse matrix is
+  ever formed; the matvec is gather -> contract -> scatter-add, which is the
+  TPU-idiomatic form (MXU-friendly batched small matmuls, no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dealii_slod_tpu.ops.element import ElementTensors
+
+
+def make_subcell_matrices(et: ElementTensors, coefs: Dict[str, jnp.ndarray]
+                          ) -> jnp.ndarray:
+    """Per-subcell element stiffness matrices.
+
+    ``coefs`` maps coefficient names to arrays of shape (..., n_sub, nq):
+      - {"alpha"}           -> scalar diffusion  (Diffusion.h:181-186)
+      - {"mu", "lam"}       -> linear elasticity (Elasticity.h:246-258)
+
+    Returns (..., n_sub, mD, mD) with local dof = node * n_components + comp.
+    """
+    if "alpha" in coefs:
+        K = jnp.asarray(et.K_grad)
+        return jnp.einsum("...sq,qij->...sij", coefs["alpha"], K)
+    K_mu = jnp.asarray(et.K_mu)
+    K_lam = jnp.asarray(et.K_lam)
+    return (jnp.einsum("...sq,qIJ->...sIJ", coefs["mu"], K_mu)
+            + jnp.einsum("...sq,qIJ->...sIJ", coefs["lam"], K_lam))
+
+
+def assemble_dense(Ksub: jnp.ndarray, flat_idx: jnp.ndarray, n_dofs: int
+                   ) -> jnp.ndarray:
+    """Scatter per-subcell matrices (n_sub, mD, mD) into a dense
+    (n_dofs, n_dofs) patch stiffness.  ``flat_idx`` are the precomputed
+    static flattened (row * n_dofs + col) indices (grid.ShapeClass).
+
+    Equivalent to AffineConstraints::distribute_local_to_global with empty
+    constraints (reference LOD.cc:440-444: the patch stiffness is assembled
+    *unconstrained*)."""
+    A = jnp.zeros(n_dofs * n_dofs, dtype=Ksub.dtype)
+    A = A.at[flat_idx].add(Ksub.reshape(-1))
+    return A.reshape(n_dofs, n_dofs)
+
+
+def assemble_dense_batch(Ksub: jnp.ndarray, flat_idx, n_dofs: int) -> jnp.ndarray:
+    """Batched version: (B, n_sub, mD, mD) -> (B, n_dofs, n_dofs)."""
+    flat_idx = jnp.asarray(flat_idx)
+    return jax.vmap(lambda k: assemble_dense(k, flat_idx, n_dofs))(Ksub)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free global fine operator
+# ---------------------------------------------------------------------------
+
+class FineOperator:
+    """Matrix-free global Q_iso_Q1 stiffness operator on the fine grid.
+
+    Stores only the coefficient values at quadrature points
+    (n_fine_cells, nq) per coefficient and the global subcell->node
+    connectivity (n_fine_cells, m).  The matvec is:
+
+        u -> scatter_add(conn, Ksub(coef) @ gather(conn, u))
+
+    with Dirichlet rows/columns handled by projection (zero boundary values
+    in, zero boundary rows out) — equivalent to the reference's
+    AffineConstraints elimination for homogeneous/inhomogeneous boundary
+    data (source/LOD.cc:1017-1021, :1057)."""
+
+    def __init__(self, grid, et: ElementTensors, conn: np.ndarray,
+                 coefs: Dict[str, jnp.ndarray],
+                 dirichlet_mask: Optional[jnp.ndarray] = None):
+        self.grid = grid
+        self.et = et
+        self.conn = jnp.asarray(conn)                  # (n_fine_cells, m)
+        self.coefs = {k: jnp.asarray(v) for k, v in coefs.items()}
+        self.n_nodes = grid.n_nodes
+        self.C = grid.n_components
+        # dirichlet_mask: (n_nodes,) bool, True on constrained (boundary) nodes
+        self.dirichlet_mask = dirichlet_mask
+
+        if "alpha" in self.coefs:
+            self._K = jnp.asarray(et.K_grad)           # (nq, m, m)
+            self._mode = "scalar"
+        else:
+            self._Kmu = jnp.asarray(et.K_mu)           # (nq, mD, mD)
+            self._Klam = jnp.asarray(et.K_lam)
+            self._mode = "elastic"
+
+    def _apply_raw(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Unconstrained matvec, u: (n_nodes, C) -> (n_nodes, C)."""
+        C = self.C
+        ue = u[self.conn]                              # (n_sub, m, C)
+        if self._mode == "scalar":
+            # out_e[s, i] = sum_q alpha[s,q] K[q,i,j] ue[s,j]
+            out_e = jnp.einsum("sq,qij,sj->si", self.coefs["alpha"],
+                               self._K, ue[..., 0])[..., None]
+        else:
+            m = ue.shape[1]
+            uflat = ue.reshape(ue.shape[0], m * C)
+            out_flat = (jnp.einsum("sq,qIJ,sJ->sI", self.coefs["mu"],
+                                   self._Kmu, uflat)
+                        + jnp.einsum("sq,qIJ,sJ->sI", self.coefs["lam"],
+                                     self._Klam, uflat))
+            out_e = out_flat.reshape(ue.shape)
+        out = jnp.zeros_like(u)
+        out = out.at[self.conn].add(out_e)
+        return out
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        """Constrained matvec: implicitly solves on interior dofs with
+        identity rows on Dirichlet dofs."""
+        if self.dirichlet_mask is None:
+            return self._apply_raw(u)
+        mask = self.dirichlet_mask[:, None]
+        ui = jnp.where(mask, 0.0, u)
+        out = self._apply_raw(ui)
+        return jnp.where(mask, u, out)
+
+    def diagonal(self) -> jnp.ndarray:
+        """Assembled matrix diagonal (n_nodes, C) — Jacobi preconditioner."""
+        C = self.C
+        if self._mode == "scalar":
+            dloc = jnp.einsum("sq,qii->si", self.coefs["alpha"], self._K)
+            dloc = dloc[..., None]                     # (n_sub, m, 1)
+        else:
+            dflat = (jnp.einsum("sq,qII->sI", self.coefs["mu"], self._Kmu)
+                     + jnp.einsum("sq,qII->sI", self.coefs["lam"], self._Klam))
+            dflat = dflat.reshape(dflat.shape[0], -1, C)
+        d = jnp.zeros((self.n_nodes, C), dtype=dloc.dtype if self._mode == "scalar"
+                      else dflat.dtype)
+        d = d.at[self.conn].add(dloc if self._mode == "scalar" else dflat)
+        if self.dirichlet_mask is not None:
+            d = jnp.where(self.dirichlet_mask[:, None], 1.0, d)
+        return d
+
+
+def assemble_load_vector(et: ElementTensors, conn: jnp.ndarray,
+                         f_q: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
+    """Global load vector: rhs[i, c] = ∫ φ_i^c f_c.
+
+    ``f_q``: (n_fine_cells, nq, C) right-hand-side values at quadrature
+    points.  Matches the reference's cell_rhs accumulation
+    (Diffusion.h:188-191 / Elasticity.h:273-282)."""
+    R = jnp.asarray(et.R)                              # (nq, m)
+    rhs_e = jnp.einsum("qi,sqc->sic", R, f_q)          # (n_sub, m, C)
+    rhs = jnp.zeros((n_nodes, f_q.shape[-1]), dtype=rhs_e.dtype)
+    return rhs.at[jnp.asarray(conn)].add(rhs_e)

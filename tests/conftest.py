@@ -1,0 +1,15 @@
+"""Test configuration: CPU backend with 8 virtual devices (for sharding
+tests) and float64 enabled (the 1e-10 parity target vs the deal.II reference
+requires double precision, SURVEY.md §7)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
