@@ -182,6 +182,10 @@ class SLODConfig:
     coef_max: float = 100.0
     coef_refinement: int = 8          # random field lives on a 2^r per-axis grid
     coef_seed: int = 0
+    reference_parity: bool = False    # mirror the reference bit-for-bit:
+                                      # glibc-rand coefficient field (always
+                                      # random, as in Diffusion.h:62) and the
+                                      # full-size-patch stiffness cache
 
     # --- output ------------------------------------------------------------
     output_directory: str = "."       # "Output directory"

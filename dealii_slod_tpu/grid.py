@@ -262,6 +262,17 @@ class ShapeClass:
                 + np.arange(D)[None, :]).reshape(-1).astype(np.int32)
 
 
+def global_connectivity(grid: GridSpec) -> np.ndarray:
+    """Global subcell -> node connectivity (n_fine_cells, 2^dim), axis-0
+    fastest corner order.  Lightweight (no PT / class machinery) — used for
+    the matrix-free global fine operator (reference fine FEM assembly,
+    source/LOD.cc:1004-1094)."""
+    sub_coords = cartesian_coords(grid.fine_cell_dims)
+    corner_bits = cartesian_coords(np.full(grid.dim, 2))
+    corner_coords = sub_coords[:, None, :] + corner_bits[None, :, :]
+    return ravel(corner_coords, grid.node_dims).astype(np.int32)
+
+
 # ---------------------------------------------------------------------------
 # Patch topology
 # ---------------------------------------------------------------------------

@@ -1,0 +1,566 @@
+"""The SLOD/LOD pipeline: batched basis construction, coarse-operator
+assembly, coarse + fine solves, error tables.
+
+TPU-native re-design of the reference ``LOD<dim, spacedim>`` engine
+(reference include/LOD.h:159-262, source/LOD.cc) — same mathematics, batched
+dataflow:
+
+- ``compute_basis_function_candidates`` (source/LOD.cc:296-768), the hot
+  per-patch loop, becomes one jitted, ``vmap``-ped kernel per patch *shape
+  class*: dense Q_iso_Q1 assembly by static scatter-add, multi-RHS Cholesky
+  solve of the SPD internal submatrix (replacing Amesos KLU on the
+  row-cleared operator — mathematically identical because the cleared rows
+  carry zero right-hand sides, LOD.cc:512-544), the coarse triple product
+  + inverse, and (optionally) the SLOD boundary-trace least squares with
+  SVD truncation (LOD.cc:596-757).
+- ``assemble_global_matrix`` (LOD.cc:860-973) becomes a *stencil-form*
+  coarse operator: each basis function lives on a fixed-size canvas grid and
+  ``A_LOD[(q,dq),(p,dp)] = phi_q . (A phi_p)`` is a batch of static-slice
+  dot products over canvas overlaps — no sparse matrices anywhere.
+- ``solve`` (CG+SSOR, LOD.cc:976-1002) becomes matrix-free CG with Jacobi
+  preconditioning on the stencil operator; ``assemble_and_solve_fem_problem``
+  (LOD.cc:1004-1238) becomes a matrix-free fine-grid CG-Jacobi solve plus a
+  small dense coarse-FEM comparison solve.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dealii_slod_tpu.config import SLODConfig
+from dealii_slod_tpu.grid import (GridSpec, PatchTopology, ShapeClass,
+                                  cartesian_coords, global_connectivity, ravel)
+from dealii_slod_tpu.ops.assembly import (FineOperator, assemble_dense,
+                                          assemble_load_vector,
+                                          make_subcell_matrices)
+from dealii_slod_tpu.ops.element import ElementTensors, quad_points_global
+from dealii_slod_tpu.ops.solvers import (cg, cholesky_factor, cholesky_solve,
+                                         dense_dirichlet_solve)
+from dealii_slod_tpu.utils.errors import ConvergenceTable, error_norms
+from dealii_slod_tpu.utils.timers import StageTimer
+
+
+def _rev(dims) -> tuple:
+    """Spatial dims in array-axis order (axis 0 fastest => last array axis)."""
+    return tuple(int(d) for d in np.asarray(dims)[::-1])
+
+
+class LODSolver:
+    """Orchestrates the full pipeline (reference LOD::run, LOD.cc:1423-1467)."""
+
+    def __init__(self, cfg: SLODConfig, problem, verbose: bool = True):
+        self.cfg = cfg
+        self.problem = problem
+        self.verbose = verbose
+        self.timer = StageTimer()
+        C = problem.n_components
+        self.C = C
+        self.grid = GridSpec(cfg.dim, cfg.n_coarse, cfg.n_subdivisions, C)
+        self.dtype = jnp.float64 if cfg.dtype == "float64" else jnp.float32
+
+        with self.timer.section("1: create patches"):
+            self.topo = PatchTopology(self.grid, cfg.oversampling)
+        self.et = ElementTensors(cfg.dim, self.grid.h, C)
+
+        # global quadrature data (coefficients + rhs at quadrature points,
+        # cf. reference value_list calls, Diffusion.h:151-154)
+        qpts = quad_points_global(self.grid)           # (n_fine_cells, nq, dim)
+        self.qpts = qpts
+        self.coef_q = {k: jnp.asarray(v, self.dtype)
+                       for k, v in problem.coefficients(qpts).items()}
+        self.coef_names = sorted(self.coef_q.keys())
+        self.conn = jnp.asarray(global_connectivity(self.grid))
+
+        # canvas geometry: every basis function is stored on a fixed
+        # (2l+1)s+1 per-axis node grid anchored at (center - l)*s, so that
+        # the canvas shift between patches q and p = q + delta is exactly
+        # delta*s — static per stencil offset, clipping-independent.
+        ell = cfg.oversampling
+        s = cfg.n_subdivisions
+        self.canvas_dims = np.full(cfg.dim, (2 * ell + 1) * s + 1,
+                                   dtype=np.int64)
+        self.canvas_n = int(self.canvas_dims.prod())
+        centers = cartesian_coords(self.grid.cell_dims)
+        self.anchor_nodes = (centers - ell) * s        # may be negative
+        self.canvas_off = (ell - (centers - self.topo.patch_lo)) * s
+        canvas_coords = cartesian_coords(self.canvas_dims)
+        gcoords = (self.anchor_nodes[:, None, :] + canvas_coords[None, :, :])
+        gcoords = np.clip(gcoords, 0, self.grid.nodes_per_axis - 1)
+        # clamped: out-of-window canvas nodes hold phi = 0, so clamped
+        # gathers/scatters contribute nothing.
+        self.canvas_gidx = jnp.asarray(
+            ravel(gcoords, self.grid.node_dims).astype(np.int32))
+
+        # stencil neighbor table: windows of q and p overlap iff
+        # |center_p - center_q|_inf <= 2l
+        R = min(2 * ell, cfg.n_coarse - 1)
+        self.stencil_R = R
+        offsets = cartesian_coords(np.full(cfg.dim, 2 * R + 1)) - R
+        self.stencil_offsets = offsets                 # (S, dim)
+        self.n_stencil = len(offsets)
+        nb_coords = centers[:, None, :] + offsets[None, :, :]
+        valid = ((nb_coords >= 0) & (nb_coords < cfg.n_coarse)).all(axis=-1)
+        nb = ravel(np.clip(nb_coords, 0, cfg.n_coarse - 1),
+                   self.grid.cell_dims)
+        self.stencil_nbr = jnp.asarray(np.where(valid, nb, 0).astype(np.int32))
+        self.stencil_valid = jnp.asarray(valid)
+        self.center_offset_idx = int(np.nonzero((offsets == 0).all(axis=1))[0][0])
+
+        self._class_kernels: Dict[int, callable] = {}
+        self.log = (lambda *a: print(*a)) if verbose else (lambda *a: None)
+
+    def parse(self, spec):
+        """Parse a function spec with the *problem's* component count (the
+        config default n_components may not match, e.g. elasticity)."""
+        from dealii_slod_tpu.config import ParsedFunction
+        return ParsedFunction(spec, self.C, self.cfg.dim)
+
+    # ------------------------------------------------------------------
+    # Basis construction (reference compute_basis_function_candidates)
+    # ------------------------------------------------------------------
+
+    def _slod_active(self, sc: ShapeClass) -> bool:
+        """SLOD stabilization gate (reference LOD.cc:563-564): skip when not
+        requested, when oversampling == 0, or when the patch covers the whole
+        domain (no patch-interior boundary)."""
+        full_domain = sc.n_cells_local == self.grid.n_cells
+        return (self.cfg.lod_stabilization and self.cfg.oversampling > 0
+                and not full_domain)
+
+    def _build_class_kernel(self, ci: int):
+        sc = self.topo.classes[ci]
+        cfg, et, C = self.cfg, self.et, self.C
+        dt = self.dtype
+        slod = self._slod_active(sc)
+
+        flat_idx = jnp.asarray(sc.assembly_flat_idx)
+        int_dofs = jnp.asarray(sc.interior_dof_indices())
+        edge_dofs = jnp.asarray(sc.edge_dof_indices())
+        edge_nodes = jnp.asarray(sc.edge_nodes)
+        PT = jnp.asarray(sc.PT, dt)
+        PT_int = jnp.asarray(sc.PT_interior, dt)
+        nD = sc.n_fine_dofs_local
+        cD = sc.n_coarse_dofs_local
+        n_nodes = sc.n_nodes_local
+        Hdim = self.grid.H ** cfg.dim
+        node_grid = _rev(sc.node_dims_local)
+        canvas_grid = _rev(self.canvas_dims)
+        thr = cfg.svd_threshold
+
+        def slod_phi_int(A, Ainv_PT, Tinv, is99, central):
+            """SLOD stabilized candidates (reference LOD.cc:596-757)."""
+            mask99 = jnp.repeat(is99, C).astype(dt)            # (nE*C,)
+            S_edge = A[edge_dofs[:, None], int_dofs[None, :]] * mask99[:, None]
+            PT_edge = PT[edge_dofs] * mask99[:, None]
+            # BD maps coarse candidate coefficients -> basis trace on the
+            # patch boundary: BD = (S_b A_int^-1 PT_int - PT_b) T^-1
+            # (LOD.cc:612-618; the reference realizes the minus sign by
+            # PT_boundary *= -1 plus additive mmult)
+            BD = (S_edge @ Ainv_PT - PT_edge) @ Tinv           # (nE*C, cD)
+            cols = []
+            for d in range(C):
+                cen = central * C + d
+                onehot = (jnp.arange(cD) == cen).astype(dt)
+                colmask = 1.0 - onehot
+                b0 = BD @ onehot                               # column 'cen'
+                newBD = BD * colmask[None, :]
+                G = newBD.T @ newBD                            # (cD, cD)
+                g0 = newBD.T @ b0
+                # pseudo-inverse via SVD with relative truncation
+                # (compute_inverse_svd(1e-15), LOD.cc:667)
+                U, sig, Vt = jnp.linalg.svd(G)
+                inv_sig = jnp.where(sig > thr * sig[0], 1.0 / sig, 0.0)
+                uv = U.T @ g0
+                terms = (inv_sig * uv)[:, None] * Vt           # (cD, cD)
+                d0 = -terms.sum(axis=0)
+                # sigma-truncation conditioning loop (LOD.cc:703-725):
+                # while ||d||_inf >= 0.5 add back the smallest-sigma
+                # contributions; 'done' latches like the reference's break.
+                def body(carry, term):
+                    dvec, done = carry
+                    done = done | (jnp.max(jnp.abs(dvec)) < 0.5)
+                    dvec = jnp.where(done, dvec, dvec + term)
+                    return (dvec, done), None
+                (dvec, _), _ = jax.lax.scan(
+                    body, (d0, jnp.asarray(False)), terms[::-1])
+                dvec = dvec * colmask
+                # candidate combination c = T^-1 (e_cen + sum_k d_k e_k)
+                # (LOD.cc:727-743)
+                c = Tinv @ (onehot + dvec)
+                cols.append(Ainv_PT @ c)
+            return jnp.stack(cols, axis=-1)                    # (nI*C, C)
+
+        def one_patch(coef_list, is99, isdom, central, off):
+            coefs = dict(zip(self.coef_names, coef_list))
+            Ksub = make_subcell_matrices(et, coefs)
+            A = assemble_dense(Ksub, flat_idx, nD)
+            # SPD internal submatrix solve == the reference's row-cleared
+            # operator + zeroed PT boundary rows (LOD.cc:512-546): boundary
+            # unknowns are exactly zero, so solve on the interior block.
+            A_int = A[int_dofs[:, None], int_dofs[None, :]]
+            L = cholesky_factor(A_int)
+            Ainv_PT = cholesky_solve(L, PT_int)                # (nI*C, cD)
+            # P_tilde = P / H^dim (LOD.cc:548-553)
+            T = (PT_int.T @ Ainv_PT) / Hdim
+            Tinv = jnp.linalg.inv(T)
+            if slod:
+                phi_int = slod_phi_int(A, Ainv_PT, Tinv, is99, central)
+            else:
+                cen_dofs = central * C + jnp.arange(C)
+                phi_int = Ainv_PT @ jnp.take(Tinv, cen_dofs, axis=1)
+            # L2-normalize each basis function (LOD.cc:591, :752)
+            norms = jnp.sqrt((phi_int ** 2).sum(axis=0))
+            phi_int = phi_int / norms
+            phi = jnp.zeros((nD, C), dt).at[int_dofs].set(phi_int)
+            # premultiplied basis A_semi phi (LOD.cc:758-765): the
+            # semi-constrained operator keeps patch-boundary rows but clears
+            # domain-boundary rows (diag 1); phi vanishes on all boundary
+            # nodes, so A_semi phi == (A phi) zeroed at domain-boundary dofs.
+            Aphi = A @ phi
+            dom_mask = jnp.zeros(n_nodes, bool).at[edge_nodes].set(isdom)
+            Aphi = jnp.where(jnp.repeat(dom_mask, C)[:, None], 0.0, Aphi)
+
+            # canvasize: place the patch block into the fixed-size canvas at
+            # its per-patch offset
+            def to_canvas(v):
+                block = v.reshape(node_grid + (C, C))
+                canvas = jnp.zeros(canvas_grid + (C, C), dt)
+                starts = tuple(off[cfg.dim - 1 - a].astype(jnp.int32)
+                               for a in range(cfg.dim)) \
+                    + (jnp.int32(0), jnp.int32(0))
+                canvas = jax.lax.dynamic_update_slice(canvas, block, starts)
+                return canvas.reshape(self.canvas_n, C, C)
+
+            return to_canvas(phi), to_canvas(Aphi)
+
+        kernel = jax.jit(jax.vmap(one_patch,
+                                  in_axes=([0] * len(self.coef_names),
+                                           0, 0, 0, 0)))
+        return kernel
+
+    def compute_basis(self):
+        """Run the basis kernels for every shape class; fills
+        ``self.Phi``/``self.APhi`` canvases (P, canvas_n, C, C)."""
+        P, C = self.topo.n_patches, self.C
+        Phi = jnp.zeros((P, self.canvas_n, C, C), self.dtype)
+        APhi = jnp.zeros((P, self.canvas_n, C, C), self.dtype)
+        chunk = self.cfg.patch_chunk
+        for ci, sc in enumerate(self.topo.classes):
+            pids = self.topo.patches_by_class[ci]
+            if ci not in self._class_kernels:
+                self._class_kernels[ci] = self._build_class_kernel(ci)
+            kernel = self._class_kernels[ci]
+            gsub = self.topo.global_subcell_indices(pids, sc).astype(np.int32)
+            # patch-stiffness cache semantics (reference LOD.cc:354-361,
+            # :433-451): with constant_coefficients, every full-size patch
+            # reuses the stiffness of the *first* full-size patch — i.e. its
+            # coefficient gather.  (A genuine no-op for truly constant
+            # fields; bit-faithful to the reference's cache for random ones,
+            # and a dedup/broadcast perf win either way.)
+            if (self.cfg.constant_coefficients
+                    and sc.n_cells_local
+                    == (2 * self.cfg.oversampling + 1) ** self.cfg.dim):
+                gsub = np.broadcast_to(gsub[:1], gsub.shape)
+            gsub = jnp.asarray(gsub)
+            is99_np, isdom_np = self.topo.edge_node_flags(pids, sc)
+            inputs = (
+                [self.coef_q[k][gsub] for k in self.coef_names],
+                jnp.asarray(is99_np), jnp.asarray(isdom_np),
+                jnp.asarray(self.topo.central_cell_local[pids]),
+                jnp.asarray(self.canvas_off[pids].astype(np.int32)),
+            )
+            B = len(pids)
+            step = B if chunk in (0, None) else min(chunk, B)
+            for lo in range(0, B, step):
+                sl = slice(lo, min(lo + step, B))
+                args = ([c[sl] for c in inputs[0]],) + tuple(
+                    a[sl] for a in inputs[1:])
+                phi_c, aphi_c = kernel(*args)
+                ids = jnp.asarray(pids[sl])
+                Phi = Phi.at[ids].set(phi_c)
+                APhi = APhi.at[ids].set(aphi_c)
+        self.Phi, self.APhi = Phi, APhi
+        return Phi, APhi
+
+    # ------------------------------------------------------------------
+    # Coarse operator in stencil form (reference assemble_global_matrix)
+    # ------------------------------------------------------------------
+
+    def assemble_coarse_operator(self):
+        """A_LOD[(q,dq),(p,dp)] = phi_q . (A phi_p) as a stencil
+        (P, S, C, C) over relative window offsets (replaces the Trilinos
+        Tmmult triple product, reference LOD.cc:970-972)."""
+        cfg, C = self.cfg, self.C
+        s = cfg.n_subdivisions
+        Gd = self.canvas_dims
+        canvas_grid = _rev(Gd)
+        P = self.topo.n_patches
+
+        @jax.jit
+        def build(Phi, APhi):
+            Phi_g = Phi.reshape((P,) + canvas_grid + (C, C))
+            APhi_g = APhi.reshape((P,) + canvas_grid + (C, C))
+            blocks = []
+            for k, delta in enumerate(self.stencil_offsets):
+                t = delta * s                                 # node shift
+                sl_q, sl_p = [], []
+                for a in range(cfg.dim - 1, -1, -1):          # grid axis order
+                    ta = int(t[a]); Ga = int(Gd[a])
+                    sl_q.append(slice(max(0, ta), Ga + min(0, ta)))
+                    sl_p.append(slice(max(0, -ta), Ga + min(0, -ta)))
+                phi_ov = Phi_g[(slice(None),) + tuple(sl_q)]
+                aphi_p = APhi_g[self.stencil_nbr[:, k]]
+                aphi_ov = aphi_p[(slice(None),) + tuple(sl_p)]
+                blk = jnp.einsum("bncd,bnce->bde",
+                                 phi_ov.reshape(P, -1, C, C),
+                                 aphi_ov.reshape(P, -1, C, C))
+                blk = blk * self.stencil_valid[:, k, None, None]
+                blocks.append(blk)
+            return jnp.stack(blocks, axis=1)                  # (P, S, C, C)
+
+        self.A_stencil = build(self.Phi, self.APhi)
+        return self.A_stencil
+
+    def coarse_matvec(self, u: jnp.ndarray) -> jnp.ndarray:
+        """u: (P, C) -> A_LOD u (P, C) via stencil gather."""
+        u_nb = u[self.stencil_nbr]                            # (P, S, C)
+        u_nb = u_nb * self.stencil_valid[:, :, None]
+        return jnp.einsum("psde,pse->pd", self.A_stencil, u_nb)
+
+    # ------------------------------------------------------------------
+    # Right-hand sides, solves
+    # ------------------------------------------------------------------
+
+    def assemble_fine_rhs(self):
+        """Eliminated fine FEM right-hand side (reference LOD.cc:1050-1063):
+        load vector, minus the lifting of inhomogeneous Dirichlet data, with
+        zeros at constrained rows (so its norm matches the reference's
+        printed 'fem rhs l2 norm')."""
+        cfg = self.cfg
+        f_q = jnp.asarray(self.parse(cfg.rhs)(self.qpts), self.dtype)
+        load = assemble_load_vector(self.et, self.conn, f_q, self.grid.n_nodes)
+        bnd = jnp.asarray(self.grid.boundary_node_mask())
+        g = jnp.asarray(self.parse(cfg.bc)(self.grid.node_coords()),
+                        self.dtype)
+        g_ext = jnp.where(bnd[:, None], g, 0.0)
+        op_raw = FineOperator(self.grid, self.et, self.conn, self.coef_q)
+        rhs = jnp.where(bnd[:, None], 0.0, load - op_raw._apply_raw(g_ext))
+        self.fine_bnd = bnd
+        self.fine_bc_values = g_ext
+        self.fem_rhs = rhs
+        return rhs
+
+    def solve_fine_fem(self):
+        """Reference fine-scale FEM solve: CG + Jacobi (replaces CG + AMG,
+        LOD.cc:1066-1079; AMG has no clean TPU analog and this solve is a
+        comparison baseline)."""
+        op = FineOperator(self.grid, self.et, self.conn, self.coef_q,
+                          dirichlet_mask=self.fine_bnd)
+        d = op.diagonal()
+        rc = self.cfg.fine_solver
+        res = cg(op, self.fem_rhs, max_steps=rc.max_steps,
+                 tolerance=rc.tolerance, reduce=rc.reduce,
+                 precond=lambda r: r / d)
+        u = jnp.where(self.fine_bnd[:, None], self.fine_bc_values, res.x)
+        self.fem_solution = u
+        self.fine_cg = res
+        return u
+
+    def solve_coarse(self):
+        """Coarse LOD solve (reference LOD.cc:976-1002): rhs = C^T f, then
+        CG (Jacobi in place of SSOR) on the stencil operator."""
+        C = self.C
+        f_at_canvas = self.fem_rhs[self.canvas_gidx]          # (P, canvas, C)
+        rhs_c = jnp.einsum("pncd,pnc->pd", self.Phi, f_at_canvas)
+        self.coarse_rhs = rhs_c
+        self.log(f"     rhs l2 norm = {float(jnp.linalg.norm(rhs_c)):.6g}")
+        diag = jnp.einsum("pdd->pd",
+                          self.A_stencil[:, self.center_offset_idx])
+        rc = self.cfg.coarse_solver
+        res = cg(self.coarse_matvec, rhs_c, max_steps=rc.max_steps,
+                 tolerance=rc.tolerance, reduce=rc.reduce,
+                 precond=lambda r: r / diag)
+        self.coarse_solution = res.x                          # (P, C)
+        self.coarse_cg = res
+        self.log(f"   size of u {res.x.size}")
+        return res.x
+
+    def prolong_lod_solution(self) -> jnp.ndarray:
+        """lod_solution = C u: scatter the u-weighted basis canvases into the
+        global fine grid (reference LOD.cc:1251)."""
+        vals = jnp.einsum("pncd,pd->pnc", self.Phi, self.coarse_solution)
+        out = jnp.zeros((self.grid.n_nodes, self.C), self.dtype)
+        out = out.at[self.canvas_gidx].add(vals)
+        self.lod_solution = out
+        return out
+
+    # ------------------------------------------------------------------
+    # Coarse FEM comparison (reference LOD.cc:1103-1237)
+    # ------------------------------------------------------------------
+
+    def solve_coarse_fem(self):
+        """Q1 FEM on the coarse grid (FE_Q_iso_Q1(1)), direct solve,
+        interpolated to the fine grid."""
+        cfg, C = self.cfg, self.C
+        N = cfg.n_coarse
+        gH = GridSpec(cfg.dim, N, 1, C)
+        etH = ElementTensors(cfg.dim, gH.h, C)
+        connH = global_connectivity(gH)
+        qptsH = quad_points_global(gH)
+        coefsH = {k: jnp.asarray(v, self.dtype)
+                  for k, v in self.problem.coefficients(qptsH).items()}
+        f_qH = jnp.asarray(self.parse(cfg.rhs)(qptsH), self.dtype)
+        rhsH = assemble_load_vector(etH, jnp.asarray(connH), f_qH, gH.n_nodes)
+        bndH = jnp.asarray(gH.boundary_node_mask())
+        gvals = jnp.asarray(self.parse(cfg.bc)(gH.node_coords()), self.dtype)
+
+        n_dofs = gH.n_fine_dofs
+        if n_dofs <= 6000:
+            # dense direct solve (reference SolverDirect, LOD.cc:1191-1195)
+            m = 2 ** cfg.dim
+            conn_dof = (connH[:, :, None] * C
+                        + np.arange(C)[None, None, :]).reshape(len(connH), m * C)
+            rows = np.repeat(conn_dof[:, :, None], m * C, axis=2)
+            cols = np.repeat(conn_dof[:, None, :], m * C, axis=1)
+            flat = (rows.astype(np.int64) * n_dofs + cols.astype(np.int64))
+            Ksub = make_subcell_matrices(etH, coefsH)
+            A = jnp.zeros(n_dofs * n_dofs, self.dtype
+                          ).at[jnp.asarray(flat.reshape(-1))].add(
+                              Ksub.reshape(-1)).reshape(n_dofs, n_dofs)
+            constrained = jnp.repeat(bndH, C).astype(self.dtype)
+            uH = dense_dirichlet_solve(A, rhsH.reshape(-1), constrained,
+                                       gvals.reshape(-1)).reshape(-1, C)
+        else:
+            opH = FineOperator(gH, etH, connH, coefsH, dirichlet_mask=bndH)
+            g_ext = jnp.where(bndH[:, None], gvals, 0.0)
+            rhsE = jnp.where(bndH[:, None], 0.0, rhsH - opH._apply_raw(g_ext))
+            dH = opH.diagonal()
+            res = cg(opH, rhsE, max_steps=2000, tolerance=1e-12, reduce=1e-14,
+                     precond=lambda r: r / dH)
+            uH = jnp.where(bndH[:, None], g_ext, res.x)
+
+        # Q1 prolongation coarse nodes -> fine nodes (FETools::interpolate,
+        # LOD.cc:1201-1204)
+        s = cfg.n_subdivisions
+        f_coords = cartesian_coords(self.grid.node_dims)
+        cell = np.minimum(f_coords // s, N - 1)
+        tloc = (f_coords - cell * s) / s                      # (n_nodes, dim)
+        bits = cartesian_coords(np.full(cfg.dim, 2))          # (m, dim)
+        idxH = ravel(cell[:, None, :] + bits[None, :, :], gH.node_dims)
+        wts = np.prod(np.where(bits[None, :, :] == 1, tloc[:, None, :],
+                               1.0 - tloc[:, None, :]), axis=-1)
+        uH_fine = jnp.einsum("nm,nmc->nc", jnp.asarray(wts, self.dtype),
+                             uH[jnp.asarray(idxH)])
+        self.coarse_fem_solution = uH
+        self.coarse_fem_on_fine = uH_fine
+        return uH, uH_fine
+
+    # ------------------------------------------------------------------
+    # Full pipeline
+    # ------------------------------------------------------------------
+
+    def run(self) -> Dict:
+        cfg = self.cfg
+        self.log(f"Running LOD {self.problem.name} problem in {cfg.dim}D")
+        sizes = self.topo.patch_sizes()
+        self.log(f"Number of coarse cell = {self.grid.n_cells}, "
+                 f"number of patches = {self.topo.n_patches} "
+                 f"(locally owned: {self.topo.n_patches}) ")
+        self.log(f"Patches size in ({sizes.min()}, {sizes.max()})")
+
+        with self.timer.section("2: compute basis functions"):
+            self.compute_basis()
+            jax.block_until_ready(self.Phi)
+        with self.timer.section("3: assemble global matrix"):
+            self.assemble_coarse_operator()
+            jax.block_until_ready(self.A_stencil)
+
+        with self.timer.section("4: assemble fine FEM"):
+            self.assemble_fine_rhs()
+            jax.block_until_ready(self.fem_rhs)
+        self.log(f"     fem rhs l2 norm = "
+                 f"{float(jnp.linalg.norm(self.fem_rhs)):.6g}")
+
+        results: Dict = {}
+        conn_np = np.asarray(self.conn)
+        exact = self.parse(cfg.exact_solution)
+
+        if cfg.solve_fine_problem:
+            with self.timer.section("4: solve fine FEM"):
+                self.solve_fine_fem()
+                jax.block_until_ready(self.fem_solution)
+            self.log(f"   size of fem u {self.fem_solution.size}")
+            if cfg.constant_coefficients:
+                t = ConvergenceTable("errFEMh")
+                t.add_row(self.grid.n_cells, self.grid.n_fine_dofs,
+                          error_norms(self.grid, self.et, conn_np,
+                                      np.asarray(self.fem_solution),
+                                      exact=exact, qpts=self.qpts))
+                results["error_FEMh_exact"] = t
+
+        with self.timer.section("4: solve coarse LOD"):
+            self.solve_coarse()
+            jax.block_until_ready(self.coarse_solution)
+        with self.timer.section("5: prolong + compare"):
+            self.prolong_lod_solution()
+            jax.block_until_ready(self.lod_solution)
+
+        if cfg.constant_coefficients:
+            t = ConvergenceTable("errLOD")
+            t.add_row(self.grid.n_cells, self.grid.n_coarse_dofs,
+                      error_norms(self.grid, self.et, conn_np,
+                                  np.asarray(self.lod_solution),
+                                  exact=exact, qpts=self.qpts))
+            results["error_LOD_exact"] = t
+
+        if cfg.solve_fine_problem:
+            t = ConvergenceTable("errLOD")
+            t.add_row(self.grid.n_cells, self.grid.n_coarse_dofs,
+                      error_norms(self.grid, self.et, conn_np,
+                                  np.asarray(self.lod_solution),
+                                  other=np.asarray(self.fem_solution)))
+            results["error_LOD_FEMh"] = t
+
+        # coarse Q1 FEM comparison — the reference runs this for
+        # spacedim == 2 only (LOD.cc:1103 'if constexpr (spacedim == 2)')
+        if self.C == 2 or (self.C == cfg.dim and cfg.dim > 1):
+            with self.timer.section("4: coarse FEM comparison"):
+                self.solve_coarse_fem()
+                jax.block_until_ready(self.coarse_fem_on_fine)
+            if cfg.solve_fine_problem:
+                t = ConvergenceTable("errFEM")
+                t.add_row(self.grid.n_cells, self.grid.n_coarse_dofs,
+                          error_norms(self.grid, self.et, conn_np,
+                                      np.asarray(self.coarse_fem_on_fine),
+                                      other=np.asarray(self.fem_solution)))
+                results["error_FEMH_FEMh"] = t
+            if cfg.constant_coefficients:
+                t = ConvergenceTable("errFEM")
+                t.add_row(self.grid.n_cells, self.grid.n_coarse_dofs,
+                          error_norms(self.grid, self.et, conn_np,
+                                      np.asarray(self.coarse_fem_on_fine),
+                                      exact=exact, qpts=self.qpts))
+                results["error_FEMH_exact"] = t
+
+        for key, label in [("error_LOD_exact", "SLOD vs exact solution"),
+                           ("error_FEMH_exact", "FEM(H) vs exact solution"),
+                           ("error_FEMh_exact", "FEMh vs exact solution"),
+                           ("error_FEMH_FEMh", "FEM(H) vs reference FEM(h)"),
+                           ("error_LOD_FEMh", "SLOD vs reference FEM(h)")]:
+            if key in results:
+                self.log(label)
+                self.log(str(results[key]))
+
+        if self.verbose:
+            self.log(self.timer.summary())
+        results["coarse_solution"] = self.coarse_solution
+        results["lod_solution"] = self.lod_solution
+        if cfg.solve_fine_problem:
+            results["fem_solution"] = self.fem_solution
+        return results

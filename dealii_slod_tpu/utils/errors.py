@@ -1,0 +1,87 @@
+"""Error norms by fine-grid quadrature + convergence tables.
+
+Replaces deal.II ``VectorTools::integrate_difference`` /
+``ParsedConvergenceTable`` (reference include/LOD.h:111-115, printed at
+source/LOD.cc:1442-1466): L2, H1-seminorm and Linfty of the difference
+between a fine nodal field and either an exact (parsed) function or another
+nodal field, integrated with the same tensor-product Gauss rule used for
+assembly."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from dealii_slod_tpu.config import ParsedFunction
+from dealii_slod_tpu.ops.element import ElementTensors
+
+
+def _fd_gradient(fn: ParsedFunction, points: np.ndarray,
+                 eps: float = 1e-6) -> np.ndarray:
+    """(..., dim) -> (..., C, dim) central finite-difference gradient of a
+    parsed function (Functions::ParsedFunction in deal.II likewise has no
+    analytic gradient)."""
+    dim = points.shape[-1]
+    grads = []
+    for k in range(dim):
+        dp = np.zeros(dim)
+        dp[k] = eps
+        grads.append((fn(points + dp) - fn(points - dp)) / (2 * eps))
+    return np.stack(grads, axis=-1)
+
+
+def fe_values_at_quadrature(et: ElementTensors, conn: np.ndarray,
+                            u: np.ndarray):
+    """Nodal field -> (values, gradients) at all quadrature points.
+
+    u: (n_nodes, C) -> values (n_sub, nq, C), grads (n_sub, nq, C, dim)."""
+    ue = np.asarray(u)[conn]                       # (n_sub, m, C)
+    vals = np.einsum("qi,sic->sqc", et.V, ue)
+    grads = np.einsum("qik,sic->sqck", et.G, ue)
+    return vals, grads
+
+
+def error_norms(grid, et: ElementTensors, conn: np.ndarray, u: np.ndarray,
+                exact: Optional[ParsedFunction] = None,
+                other: Optional[np.ndarray] = None,
+                qpts: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """L2 / H1-semi / Linfty norms of (u - exact) or (u - other)."""
+    vals, grads = fe_values_at_quadrature(et, conn, u)
+    if other is not None:
+        ovals, ograds = fe_values_at_quadrature(et, conn, other)
+    else:
+        assert exact is not None and qpts is not None
+        ovals = exact(qpts)
+        ograds = _fd_gradient(exact, qpts)
+    ev = vals - ovals
+    eg = grads - ograds
+    w = et.w                                       # (nq,)
+    l2 = float(np.sqrt(np.einsum("q,sqc->", w, ev ** 2)))
+    h1 = float(np.sqrt(np.einsum("q,sqck->", w, eg ** 2)))
+    linf = float(np.abs(ev).max())
+    return {"L2": l2, "H1": h1, "Linfty": linf}
+
+
+class ConvergenceTable:
+    """Accumulates (cells, dofs, norms) rows and prints an aligned table,
+    in the spirit of the reference's ParsedConvergenceTable output."""
+
+    def __init__(self, label: str):
+        self.label = label
+        self.rows = []
+
+    def add_row(self, cells: int, dofs: int, norms: Dict[str, float]):
+        self.rows.append((cells, dofs, dict(norms)))
+
+    def __str__(self) -> str:
+        if not self.rows:
+            return f"[{self.label}] (empty)"
+        keys = list(self.rows[0][2].keys())
+        head = f"{'cells':>8} {'dofs':>10} " + " ".join(
+            f"{self.label}_{k:>10}" for k in keys)
+        lines = [head]
+        for cells, dofs, norms in self.rows:
+            lines.append(f"{cells:>8} {dofs:>10} " + " ".join(
+                f"{norms[k]:>{11 + len(self.label)}.6e}" for k in keys))
+        return "\n".join(lines)

@@ -4,7 +4,9 @@ requires double precision, SURVEY.md §7)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force-override: the environment presets JAX_PLATFORMS=axon (tunneled TPU);
+# tests must run on the virtual-device CPU backend in float64
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +14,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# programmatic override too, in case jax was imported (but not initialized)
+# by a pytest plugin before this conftest ran
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

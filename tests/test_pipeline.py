@@ -1,0 +1,146 @@
+"""End-to-end pipeline tests — mirrors reference tests
+Poisson_LOD_Example.cc (golden quantities), assembly_01/02 + parallel_assembly
+(A_LOD = C^T A C identity), and validates LOD convergence mathematically."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from dealii_slod_tpu.config import SLODConfig
+from dealii_slod_tpu.models import LODSolver, DiffusionProblem, ElasticityProblem
+
+
+def make_solver(**kw):
+    defaults = dict(dim=2, n_global_refinements=2, n_subdivisions=2,
+                    oversampling=1, rhs="1", bc="0",
+                    constant_coefficients=True)
+    defaults.update(kw)
+    cfg = SLODConfig(**defaults)
+    prob = (ElasticityProblem(cfg) if defaults.get("n_components", 1) == 2
+            else DiffusionProblem(cfg))
+    return LODSolver(cfg, prob, verbose=False)
+
+
+def test_golden_deterministic_quantities():
+    # tests/Poisson_LOD_Example.output:1-6 (alpha-independent entries)
+    sol = make_solver()
+    assert sol.topo.n_patches == 16
+    sizes = sol.topo.patch_sizes()
+    assert (sizes.min(), sizes.max()) == (4, 9)
+    sol.compute_basis()
+    sol.assemble_fine_rhs()
+    assert sol.grid.n_fine_dofs == 81
+    assert sol.grid.n_coarse_dofs == 16
+    np.testing.assert_allclose(float(jnp.linalg.norm(sol.fem_rhs)),
+                               0.109375, rtol=1e-14)
+
+
+def _explicit_C_matrices(sol):
+    """Build explicit sparse C and AC from the canvases (independent of the
+    stencil path) — the reference's basis_matrix_transposed /
+    premultiplied_basis_matrix (LOD.cc:913-965)."""
+    P, C = sol.topo.n_patches, sol.C
+    n_rows = sol.grid.n_nodes * C
+    gidx = np.asarray(sol.canvas_gidx)                   # (P, canvas)
+    mats = []
+    for arr in (np.asarray(sol.Phi), np.asarray(sol.APhi)):
+        rows, cols, vals = [], [], []
+        for p in range(P):
+            for c in range(C):
+                for d in range(C):
+                    rows.append(gidx[p] * C + c)
+                    cols.append(np.full(gidx.shape[1], p * C + d))
+                    vals.append(arr[p, :, c, d])
+        M = sp.coo_matrix(
+            (np.concatenate(vals),
+             (np.concatenate(rows), np.concatenate(cols))),
+            shape=(n_rows, P * C)).tocsr()
+        mats.append(M)
+    return mats
+
+
+@pytest.mark.parametrize("n_components", [1, 2])
+def test_stencil_equals_explicit_triple_product(n_components):
+    """A_LOD stencil == C^T (A C) computed with explicit scipy sparse
+    matrices (mirrors assembly_01/02 and parallel_assembly identities).
+
+    Note: clamped out-of-window canvas entries hold exact zeros, so the
+    duplicate-summing COO construction is safe."""
+    sol = make_solver(n_components=n_components,
+                      constant_coefficients=False, coef_seed=3)
+    sol.compute_basis()
+    sol.assemble_coarse_operator()
+    Cmat, ACmat = _explicit_C_matrices(sol)
+    A_ref = (Cmat.T @ ACmat).toarray()                   # (PC, PC)
+    P, C = sol.topo.n_patches, sol.C
+    A_st = np.asarray(sol.A_stencil)                     # (P, S, C, C)
+    nbr = np.asarray(sol.stencil_nbr)
+    valid = np.asarray(sol.stencil_valid)
+    A_full = np.zeros((P * C, P * C))
+    for q in range(P):
+        for k in range(sol.n_stencil):
+            if valid[q, k]:
+                p = nbr[q, k]
+                A_full[q * C:(q + 1) * C, p * C:(p + 1) * C] = A_st[q, k]
+    np.testing.assert_allclose(A_full, A_ref, rtol=1e-10, atol=1e-12)
+    # symmetry of the coarse operator (a(phi_p, phi_q) form)
+    np.testing.assert_allclose(A_full, A_full.T, rtol=1e-9, atol=1e-11)
+
+
+def test_lod_error_decays_exponentially_in_oversampling():
+    """The plain-LOD localization error decays exponentially in the
+    oversampling radius l (the defining property of the method; the slow
+    decay at small l is exactly what SLOD stabilization improves)."""
+    errs = []
+    for ell in (1, 2, 3):
+        sol = make_solver(n_global_refinements=3, oversampling=ell,
+                          rhs="2*pi^2*sin(pi*x)*sin(pi*y)",
+                          exact_solution="sin(pi*x)*sin(pi*y)")
+        res = sol.run()
+        errs.append(res["error_LOD_exact"].rows[0][2]["L2"])
+    assert errs[1] < 0.5 * errs[0], errs
+    assert errs[2] < 0.5 * errs[1], errs
+
+
+def test_ideal_lod_matches_fem_accuracy():
+    """With full-domain patches (l >= N) the basis is the ideal LOD basis and
+    the Galerkin solution must reach fine-FEM accuracy."""
+    sol = make_solver(n_global_refinements=3, oversampling=8,
+                      rhs="2*pi^2*sin(pi*x)*sin(pi*y)",
+                      exact_solution="sin(pi*x)*sin(pi*y)")
+    res = sol.run()
+    err = res["error_LOD_exact"].rows[0][2]["L2"]
+    fem_err = res["error_FEMh_exact"].rows[0][2]["L2"]
+    assert fem_err < 2e-3
+    assert err < 1.5 * fem_err + 1e-4, (err, fem_err)
+
+
+def test_elasticity_pipeline_runs():
+    sol = make_solver(n_components=2, rhs="1; 1",
+                      n_global_refinements=2, oversampling=1)
+    res = sol.run()
+    u = np.asarray(res["lod_solution"])
+    assert np.isfinite(u).all()
+    err = res["error_LOD_FEMh"].rows[0][2]["L2"]
+    fem = np.asarray(res["fem_solution"])
+    assert err < 0.5 * np.linalg.norm(fem) + 1e-6
+
+
+def test_random_coefficients_pipeline():
+    sol = make_solver(constant_coefficients=False, coef_seed=1,
+                      n_global_refinements=3, oversampling=2)
+    res = sol.run()
+    err = res["error_LOD_FEMh"].rows[0][2]["L2"]
+    # LOD should track the fine FEM closely even for rough coefficients
+    femn = float(np.sqrt((np.asarray(res["fem_solution"]) ** 2).sum()))
+    assert np.isfinite(err) and err < femn
+
+
+def test_reference_parity_mode_glibc_field():
+    from dealii_slod_tpu.models.coefficients import GlibcRand
+    g = GlibcRand()
+    assert list(g.draw(3)) == [1804289383, 846930886, 1681692777]
+    conv = GlibcRand().uniform_reference(1, 100, 2)
+    np.testing.assert_array_equal(
+        conv, [84.1785888671875, 40.043910980224609])
