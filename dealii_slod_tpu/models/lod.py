@@ -133,7 +133,10 @@ class LODSolver:
         return (self.cfg.lod_stabilization and self.cfg.oversampling > 0
                 and not full_domain)
 
-    def _build_class_kernel(self, ci: int):
+    def _class_patch_fn(self, ci: int):
+        """Single-patch basis function builder for shape class ``ci`` —
+        traced under vmap (batched) by `_build_class_kernel` and under the
+        fully-jitted pipeline step by `build_step`."""
         sc = self.topo.classes[ci]
         cfg, et, C = self.cfg, self.et, self.C
         dt = self.dtype
@@ -239,10 +242,35 @@ class LODSolver:
 
             return to_canvas(phi), to_canvas(Aphi)
 
-        kernel = jax.jit(jax.vmap(one_patch,
-                                  in_axes=([0] * len(self.coef_names),
-                                           0, 0, 0, 0)))
-        return kernel
+        return one_patch
+
+    def _build_class_kernel(self, ci: int):
+        one_patch = self._class_patch_fn(ci)
+        return jax.jit(jax.vmap(one_patch,
+                                in_axes=([0] * len(self.coef_names),
+                                         0, 0, 0, 0)))
+
+    def _class_inputs(self, ci: int):
+        """Static per-class batch inputs (NumPy): subcell gather indices
+        (with the reference's cache semantics), edge flags, central cell,
+        canvas offsets."""
+        sc = self.topo.classes[ci]
+        pids = self.topo.patches_by_class[ci]
+        gsub = self.topo.global_subcell_indices(pids, sc).astype(np.int32)
+        # patch-stiffness cache semantics (reference LOD.cc:354-361,
+        # :433-451): with constant_coefficients, every full-size patch
+        # reuses the stiffness of the *first* full-size patch — i.e. its
+        # coefficient gather.  (A genuine no-op for truly constant
+        # fields; bit-faithful to the reference's cache for random ones,
+        # and a dedup/broadcast perf win either way.)
+        if (self.cfg.constant_coefficients
+                and sc.n_cells_local
+                == (2 * self.cfg.oversampling + 1) ** self.cfg.dim):
+            gsub = np.broadcast_to(gsub[:1], gsub.shape)
+        is99_np, isdom_np = self.topo.edge_node_flags(pids, sc)
+        return (pids, gsub, is99_np, isdom_np,
+                self.topo.central_cell_local[pids],
+                self.canvas_off[pids].astype(np.int32))
 
     def compute_basis(self):
         """Run the basis kernels for every shape class; fills
@@ -252,39 +280,32 @@ class LODSolver:
         APhi = jnp.zeros((P, self.canvas_n, C, C), self.dtype)
         chunk = self.cfg.patch_chunk
         for ci, sc in enumerate(self.topo.classes):
-            pids = self.topo.patches_by_class[ci]
             if ci not in self._class_kernels:
                 self._class_kernels[ci] = self._build_class_kernel(ci)
             kernel = self._class_kernels[ci]
-            gsub = self.topo.global_subcell_indices(pids, sc).astype(np.int32)
-            # patch-stiffness cache semantics (reference LOD.cc:354-361,
-            # :433-451): with constant_coefficients, every full-size patch
-            # reuses the stiffness of the *first* full-size patch — i.e. its
-            # coefficient gather.  (A genuine no-op for truly constant
-            # fields; bit-faithful to the reference's cache for random ones,
-            # and a dedup/broadcast perf win either way.)
-            if (self.cfg.constant_coefficients
-                    and sc.n_cells_local
-                    == (2 * self.cfg.oversampling + 1) ** self.cfg.dim):
-                gsub = np.broadcast_to(gsub[:1], gsub.shape)
+            pids, gsub, is99_np, isdom_np, central, off = self._class_inputs(ci)
             gsub = jnp.asarray(gsub)
-            is99_np, isdom_np = self.topo.edge_node_flags(pids, sc)
             inputs = (
                 [self.coef_q[k][gsub] for k in self.coef_names],
                 jnp.asarray(is99_np), jnp.asarray(isdom_np),
-                jnp.asarray(self.topo.central_cell_local[pids]),
-                jnp.asarray(self.canvas_off[pids].astype(np.int32)),
+                jnp.asarray(central), jnp.asarray(off),
             )
             B = len(pids)
             step = B if chunk in (0, None) else min(chunk, B)
             for lo in range(0, B, step):
-                sl = slice(lo, min(lo + step, B))
-                args = ([c[sl] for c in inputs[0]],) + tuple(
-                    a[sl] for a in inputs[1:])
+                hi = min(lo + step, B)
+                # pad the remainder chunk to the full chunk size (avoids a
+                # second compilation per class for the tail shape)
+                idx = np.arange(lo, lo + step)
+                idx = np.minimum(idx, B - 1)
+                jidx = jnp.asarray(idx)
+                args = ([c[jidx] for c in inputs[0]],) + tuple(
+                    a[jidx] for a in inputs[1:])
                 phi_c, aphi_c = kernel(*args)
-                ids = jnp.asarray(pids[sl])
-                Phi = Phi.at[ids].set(phi_c)
-                APhi = APhi.at[ids].set(aphi_c)
+                keep = hi - lo
+                ids = jnp.asarray(pids[lo:hi])
+                Phi = Phi.at[ids].set(phi_c[:keep])
+                APhi = APhi.at[ids].set(aphi_c[:keep])
         self.Phi, self.APhi = Phi, APhi
         return Phi, APhi
 
@@ -296,42 +317,44 @@ class LODSolver:
         """A_LOD[(q,dq),(p,dp)] = phi_q . (A phi_p) as a stencil
         (P, S, C, C) over relative window offsets (replaces the Trilinos
         Tmmult triple product, reference LOD.cc:970-972)."""
+        self.A_stencil = jax.jit(self._stencil_build)(self.Phi, self.APhi)
+        return self.A_stencil
+
+    def _stencil_build(self, Phi, APhi):
+        """Pure function: canvases -> stencil blocks (P, S, C, C)."""
         cfg, C = self.cfg, self.C
         s = cfg.n_subdivisions
         Gd = self.canvas_dims
         canvas_grid = _rev(Gd)
         P = self.topo.n_patches
+        Phi_g = Phi.reshape((P,) + canvas_grid + (C, C))
+        APhi_g = APhi.reshape((P,) + canvas_grid + (C, C))
+        blocks = []
+        for k, delta in enumerate(self.stencil_offsets):
+            t = delta * s                                 # node shift
+            sl_q, sl_p = [], []
+            for a in range(cfg.dim - 1, -1, -1):          # grid axis order
+                ta = int(t[a]); Ga = int(Gd[a])
+                sl_q.append(slice(max(0, ta), Ga + min(0, ta)))
+                sl_p.append(slice(max(0, -ta), Ga + min(0, -ta)))
+            phi_ov = Phi_g[(slice(None),) + tuple(sl_q)]
+            aphi_p = APhi_g[self.stencil_nbr[:, k]]
+            aphi_ov = aphi_p[(slice(None),) + tuple(sl_p)]
+            blk = jnp.einsum("bncd,bnce->bde",
+                             phi_ov.reshape(P, -1, C, C),
+                             aphi_ov.reshape(P, -1, C, C))
+            blk = blk * self.stencil_valid[:, k, None, None]
+            blocks.append(blk)
+        return jnp.stack(blocks, axis=1)                  # (P, S, C, C)
 
-        @jax.jit
-        def build(Phi, APhi):
-            Phi_g = Phi.reshape((P,) + canvas_grid + (C, C))
-            APhi_g = APhi.reshape((P,) + canvas_grid + (C, C))
-            blocks = []
-            for k, delta in enumerate(self.stencil_offsets):
-                t = delta * s                                 # node shift
-                sl_q, sl_p = [], []
-                for a in range(cfg.dim - 1, -1, -1):          # grid axis order
-                    ta = int(t[a]); Ga = int(Gd[a])
-                    sl_q.append(slice(max(0, ta), Ga + min(0, ta)))
-                    sl_p.append(slice(max(0, -ta), Ga + min(0, -ta)))
-                phi_ov = Phi_g[(slice(None),) + tuple(sl_q)]
-                aphi_p = APhi_g[self.stencil_nbr[:, k]]
-                aphi_ov = aphi_p[(slice(None),) + tuple(sl_p)]
-                blk = jnp.einsum("bncd,bnce->bde",
-                                 phi_ov.reshape(P, -1, C, C),
-                                 aphi_ov.reshape(P, -1, C, C))
-                blk = blk * self.stencil_valid[:, k, None, None]
-                blocks.append(blk)
-            return jnp.stack(blocks, axis=1)                  # (P, S, C, C)
-
-        self.A_stencil = build(self.Phi, self.APhi)
-        return self.A_stencil
+    def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:
+        u_nb = u[self.stencil_nbr]                            # (P, S, C)
+        u_nb = u_nb * self.stencil_valid[:, :, None]
+        return jnp.einsum("psde,pse->pd", A_st, u_nb)
 
     def coarse_matvec(self, u: jnp.ndarray) -> jnp.ndarray:
         """u: (P, C) -> A_LOD u (P, C) via stencil gather."""
-        u_nb = u[self.stencil_nbr]                            # (P, S, C)
-        u_nb = u_nb * self.stencil_valid[:, :, None]
-        return jnp.einsum("psde,pse->pd", self.A_stencil, u_nb)
+        return self._coarse_matvec_with(self.A_stencil, u)
 
     # ------------------------------------------------------------------
     # Right-hand sides, solves
@@ -399,6 +422,92 @@ class LODSolver:
         out = out.at[self.canvas_gidx].add(vals)
         self.lod_solution = out
         return out
+
+    # ------------------------------------------------------------------
+    # Fully-jittable pipeline step (single-chip entry + SPMD sharding)
+    # ------------------------------------------------------------------
+
+    def build_step(self, mesh=None):
+        """Return a pure, jittable end-to-end step
+
+            step(coefs: dict[str, (n_fine_cells, nq)], fem_rhs: (n_nodes, C))
+                -> (coarse solution (P, C), A_stencil (P, S, C, C))
+
+        covering basis construction -> coarse-operator assembly -> CG solve.
+        With ``mesh`` given, the patch batch axis is sharded over the mesh's
+        ``cfg.mesh_axis`` dimension (the reference's MPI patch
+        data-parallelism, source/LOD.cc:116-118, recast as SPMD sharding —
+        XLA inserts the collectives for the stencil neighbor gathers and the
+        CG reductions)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        P = self.topo.n_patches
+        C = self.C
+        axis = self.cfg.mesh_axis
+        n_dev = int(np.prod(list(mesh.shape.values()))) if mesh is not None else 1
+
+        def constrain(x):
+            # shard leading (patch) axis when divisible; replicate otherwise
+            if mesh is None or x.shape[0] % n_dev != 0:
+                return x
+            spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, spec))
+
+        chunk = self.cfg.patch_chunk
+        class_static = []
+        for ci in range(len(self.topo.classes)):
+            pids, gsub, is99, isdom, central, off = self._class_inputs(ci)
+            B = len(pids)
+            if chunk and B > chunk:
+                # pad patch ids to a multiple of the chunk size so a single
+                # lax.map body covers every chunk (bounded memory, one
+                # compiled body per class)
+                n_chunks = -(-B // chunk)
+                idx = np.minimum(np.arange(n_chunks * chunk), B - 1)
+            else:
+                n_chunks, idx = 1, np.arange(B)
+            class_static.append(
+                (jnp.asarray(pids),
+                 jnp.asarray(np.ascontiguousarray(gsub[idx])),
+                 jnp.asarray(is99[idx]), jnp.asarray(isdom[idx]),
+                 jnp.asarray(central[idx]), jnp.asarray(off[idx]),
+                 n_chunks, B, self._class_patch_fn(ci)))
+
+        nc = len(self.coef_names)
+
+        def step(coefs, fem_rhs):
+            Phi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
+            APhi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
+            for (pids, gsub, is99, isdom, central, off, n_chunks, B,
+                 fn) in class_static:
+                vfn = jax.vmap(fn, in_axes=([0] * nc, 0, 0, 0, 0))
+                cl = [coefs[k][gsub] for k in self.coef_names]
+                if n_chunks == 1:
+                    phi_c, aphi_c = vfn([constrain(c) for c in cl],
+                                        is99, isdom, central, off)
+                else:
+                    def resh(a):
+                        return a.reshape((n_chunks, -1) + a.shape[1:])
+                    phi_c, aphi_c = jax.lax.map(
+                        lambda t: vfn(list(t[0]), *t[1:]),
+                        (tuple(resh(c) for c in cl), resh(is99), resh(isdom),
+                         resh(central), resh(off)))
+                    phi_c = phi_c.reshape((-1,) + phi_c.shape[2:])[:B]
+                    aphi_c = aphi_c.reshape((-1,) + aphi_c.shape[2:])[:B]
+                Phi = Phi.at[pids].set(phi_c[:B])
+                APhi = APhi.at[pids].set(aphi_c[:B])
+            A_st = constrain(self._stencil_build(Phi, APhi))
+            f_at = fem_rhs[self.canvas_gidx]                  # (P, canvas, C)
+            rhs_c = constrain(jnp.einsum("pncd,pnc->pd", Phi, f_at))
+            diag = jnp.einsum("pdd->pd", A_st[:, self.center_offset_idx])
+            rc = self.cfg.coarse_solver
+            res = cg(lambda u: self._coarse_matvec_with(A_st, u), rhs_c,
+                     max_steps=rc.max_steps, tolerance=rc.tolerance,
+                     reduce=rc.reduce, precond=lambda r: r / diag)
+            return res.x, A_st
+
+        return step
 
     # ------------------------------------------------------------------
     # Coarse FEM comparison (reference LOD.cc:1103-1237)
