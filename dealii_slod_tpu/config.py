@@ -195,6 +195,12 @@ class SLODConfig:
     # --- TPU runtime -------------------------------------------------------
     dtype: str = "float64"            # compute dtype ("float64" on CPU tests,
                                       # "float32" for TPU speed)
+    kernel_mode: str = "uniform"      # "uniform": one padded shape class,
+                                      # masks as data (one compiled kernel,
+                                      # uniform batch — the TPU-native form);
+                                      # "classes": one kernel per patch
+                                      # shape class (exact-size reference
+                                      # form, used for cross-validation)
     patch_chunk: int = 0              # patches per vmapped chunk (0 = all at once)
     mesh_axis: str = "patches"        # device-mesh axis name for patch sharding
     n_devices: int = 0                # 0 = single device / no sharding

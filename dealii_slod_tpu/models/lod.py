@@ -112,7 +112,15 @@ class LODSolver:
         self.stencil_valid = jnp.asarray(valid)
         self.center_offset_idx = int(np.nonzero((offsets == 0).all(axis=1))[0][0])
 
+        # the uniform kernel pads every patch to the full (2l+1)-cell canvas
+        # window with data-driven masks — one shape class, one compiled
+        # kernel, one uniform batch (SURVEY.md §7 'ragged boundary patches')
+        self.canvas_class = ShapeClass((2 * ell + 1,) * cfg.dim, self.grid)
+        self.canvas_center_cell = int(ravel(np.full(cfg.dim, ell),
+                                            np.full(cfg.dim, 2 * ell + 1)))
+
         self._class_kernels: Dict[int, callable] = {}
+        self._uniform_kernel_cache = None
         self.log = (lambda *a: print(*a)) if verbose else (lambda *a: None)
 
     def parse(self, spec):
@@ -272,9 +280,187 @@ class LODSolver:
                 self.topo.central_cell_local[pids],
                 self.canvas_off[pids].astype(np.int32))
 
+    # ------------------------------------------------------------------
+    # Uniform padded kernel: one shape class, data-driven masks
+    # ------------------------------------------------------------------
+
+    def _uniform_inputs(self):
+        """Per-patch inputs for the uniform kernel (NumPy): canvas-subcell
+        gather indices (with the reference's full-size-patch cache
+        semantics, LOD.cc:354-361), window node bounds in canvas coords,
+        and domain-side flags."""
+        g, topo, cfg = self.grid, self.topo, self.cfg
+        sc = self.canvas_class
+        anchors = self.anchor_nodes                          # (P, dim)
+        coords = sc.sub_coords[None, :, :] + anchors[:, None, :]
+        coords = np.clip(coords, 0, g.fine_cells_per_axis - 1)
+        gsub = ravel(coords, g.fine_cell_dims).astype(np.int32)
+        if cfg.constant_coefficients:
+            full = (topo.patch_shape
+                    == 2 * cfg.oversampling + 1).all(axis=1)
+            if full.any():
+                first = int(np.nonzero(full)[0][0])
+                gsub[full] = gsub[first]
+        nlo = self.canvas_off.astype(np.int32)               # (P, dim)
+        nhi = (self.canvas_off
+               + topo.patch_shape * cfg.n_subdivisions).astype(np.int32)
+        return gsub, nlo, nhi, topo.side_is_domain
+
+    def _uniform_patch_fn(self):
+        """Single-patch basis builder on the padded canvas.  Same
+        mathematics as `_class_patch_fn` (reference LOD.cc:296-768) but with
+        the real window described by per-patch masks instead of per-class
+        static shapes: fake subcells get zero coefficients, fake/boundary
+        dofs get identity rows, fake coarse cells get identity diagonal in
+        the triple product — all exactly equivalent to the per-class
+        computation (validated against it in tests/test_uniform.py)."""
+        sc = self.canvas_class
+        cfg, et, C = self.cfg, self.et, self.C
+        dt = self.dtype
+        # the reference skips stabilization per patch when the patch covers
+        # the whole domain (LOD.cc:563-564); here that case needs no gate:
+        # a full-domain patch has no 99-boundary dofs, so BD == 0 and the
+        # SLOD formula degenerates exactly to the LOD candidate.
+        slod = cfg.lod_stabilization and cfg.oversampling > 0
+
+        flat_idx = jnp.asarray(sc.assembly_flat_idx)
+        PT = jnp.asarray(sc.PT, dt)
+        nD = sc.n_fine_dofs_local
+        cD = sc.n_coarse_dofs_local
+        n_nodes = sc.n_nodes_local
+        Hdim = self.grid.H ** cfg.dim
+        thr = cfg.svd_threshold
+        node_coords = jnp.asarray(sc.node_coords_local.astype(np.int32))
+        sub_coords = jnp.asarray(sc.sub_coords.astype(np.int32))
+        cell_lo = jnp.asarray(
+            (cartesian_coords(sc.cell_dims_local)
+             * cfg.n_subdivisions).astype(np.int32))         # (cells, dim)
+        s = cfg.n_subdivisions
+        cen_dofs = jnp.asarray(self.canvas_center_cell * C + np.arange(C))
+
+        def one_patch(coef_list, nlo, nhi, sides_dom):
+            in_sub = ((sub_coords >= nlo) & (sub_coords <= nhi - 1)
+                      ).all(axis=1)                          # (n_sub,)
+            coefs = {k: c * in_sub[:, None]
+                     for k, c in zip(self.coef_names, coef_list)}
+            Ksub = make_subcell_matrices(et, coefs)
+            A_raw = assemble_dense(Ksub, flat_idx, nD)
+            node_int = ((node_coords > nlo) & (node_coords < nhi)).all(axis=1)
+            mask_int = jnp.repeat(node_int, C).astype(dt)    # (nD,)
+            # zero rows/cols outside the interior + unit diagonal: the
+            # interior block is the SPD submatrix the row-cleared reference
+            # operator solves (LOD.cc:537-546)
+            A_solve = (A_raw * mask_int[:, None] * mask_int[None, :]
+                       + jnp.diag(1.0 - mask_int))
+            cell_valid = ((cell_lo >= nlo)
+                          & (cell_lo + s <= nhi)).all(axis=1)
+            cvd = jnp.repeat(cell_valid, C).astype(dt)       # (cD,)
+            PT_m = PT * mask_int[:, None] * cvd[None, :]
+            L = cholesky_factor(A_solve)
+            Ainv_PT = cholesky_solve(L, PT_m)                # (nD, cD)
+            T = (PT_m.T @ Ainv_PT) / Hdim + jnp.diag(1.0 - cvd)
+            Tinv = jnp.linalg.inv(T)
+
+            if slod:
+                node_in = ((node_coords >= nlo)
+                           & (node_coords <= nhi)).all(axis=1)
+                on_lo = node_coords == nlo                   # (n_nodes, dim)
+                on_hi = node_coords == nhi
+                dom_lo = sides_dom[0::2]                     # (dim,)
+                dom_hi = sides_dom[1::2]
+                is99 = (((on_lo & ~dom_lo) | (on_hi & ~dom_hi)).any(axis=1)
+                        & node_in)
+                isdom = (((on_lo & dom_lo) | (on_hi & dom_hi)).any(axis=1)
+                         & node_in)
+                is99d = jnp.repeat(is99, C).astype(dt)
+                # S_boundary rows (unconstrained stiffness at 99-dofs,
+                # LOD.cc:520-528); interior-column restriction is implicit
+                # because Ainv_PT vanishes outside the interior
+                S_rows = A_raw * is99d[:, None]
+                PT_b = PT * is99d[:, None] * cvd[None, :]
+                BD = (S_rows @ Ainv_PT - PT_b) @ Tinv        # (nD, cD)
+                cols = []
+                for d in range(C):
+                    cen = self.canvas_center_cell * C + d
+                    onehot = (jnp.arange(cD) == cen).astype(dt)
+                    colmask = (1.0 - onehot) * cvd
+                    b0 = BD[:, cen]
+                    newBD = BD * colmask[None, :]
+                    G = newBD.T @ newBD
+                    g0 = newBD.T @ b0
+                    U, sig, Vt = jnp.linalg.svd(G)
+                    inv_sig = jnp.where(sig > thr * sig[0], 1.0 / sig, 0.0)
+                    uv = U.T @ g0
+                    terms = (inv_sig * uv)[:, None] * Vt
+                    d0 = -terms.sum(axis=0)
+
+                    def body(carry, term):
+                        dvec, done = carry
+                        done = done | (jnp.max(jnp.abs(dvec)) < 0.5)
+                        dvec = jnp.where(done, dvec, dvec + term)
+                        return (dvec, done), None
+
+                    (dvec, _), _ = jax.lax.scan(
+                        body, (d0, jnp.asarray(False)), terms[::-1])
+                    c = Tinv @ (onehot + dvec * colmask)
+                    cols.append(Ainv_PT @ c)
+                phi = jnp.stack(cols, axis=-1)               # (nD, C)
+            else:
+                phi = Ainv_PT @ jnp.take(Tinv, cen_dofs, axis=1)
+            norms = jnp.sqrt((phi ** 2).sum(axis=0))
+            phi = phi / norms
+            Aphi = A_raw @ phi
+            if slod:
+                Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
+            else:
+                node_in = ((node_coords >= nlo)
+                           & (node_coords <= nhi)).all(axis=1)
+                on_lo = node_coords == nlo
+                on_hi = node_coords == nhi
+                isdom = (((on_lo & sides_dom[0::2])
+                          | (on_hi & sides_dom[1::2])).any(axis=1) & node_in)
+                Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
+            # outputs are already canvas-aligned
+            return (phi.reshape(n_nodes, C, C),
+                    Aphi.reshape(n_nodes, C, C))
+
+        return one_patch
+
     def compute_basis(self):
-        """Run the basis kernels for every shape class; fills
-        ``self.Phi``/``self.APhi`` canvases (P, canvas_n, C, C)."""
+        """Run the basis kernels; fills ``self.Phi``/``self.APhi`` canvases
+        (P, canvas_n, C, C)."""
+        if self.cfg.kernel_mode == "uniform":
+            return self._compute_basis_uniform()
+        return self._compute_basis_classes()
+
+    def _compute_basis_uniform(self):
+        P, C = self.topo.n_patches, self.C
+        chunk = self.cfg.patch_chunk or P
+        if self._uniform_kernel_cache is None:
+            fn = self._uniform_patch_fn()
+            self._uniform_kernel_cache = jax.jit(jax.vmap(
+                fn, in_axes=([0] * len(self.coef_names), 0, 0, 0)))
+        kernel = self._uniform_kernel_cache
+        gsub, nlo, nhi, sides = self._uniform_inputs()
+        gsub = jnp.asarray(gsub)
+        nlo_j, nhi_j = jnp.asarray(nlo), jnp.asarray(nhi)
+        sides_j = jnp.asarray(sides)
+        Phi = jnp.zeros((P, self.canvas_n, C, C), self.dtype)
+        APhi = jnp.zeros((P, self.canvas_n, C, C), self.dtype)
+        for lo in range(0, P, chunk):
+            idx = np.minimum(np.arange(lo, lo + chunk), P - 1)
+            jidx = jnp.asarray(idx)
+            cl = [self.coef_q[k][gsub[jidx]] for k in self.coef_names]
+            phi_c, aphi_c = kernel(cl, nlo_j[jidx], nhi_j[jidx],
+                                   sides_j[jidx])
+            keep = min(lo + chunk, P) - lo
+            ids = jnp.asarray(np.arange(lo, lo + keep))
+            Phi = Phi.at[ids].set(phi_c[:keep].reshape(keep, -1, C, C))
+            APhi = APhi.at[ids].set(aphi_c[:keep].reshape(keep, -1, C, C))
+        self.Phi, self.APhi = Phi, APhi
+        return Phi, APhi
+
+    def _compute_basis_classes(self):
         P, C = self.topo.n_patches, self.C
         Phi = jnp.zeros((P, self.canvas_n, C, C), self.dtype)
         APhi = jnp.zeros((P, self.canvas_n, C, C), self.dtype)
@@ -321,31 +507,39 @@ class LODSolver:
         return self.A_stencil
 
     def _stencil_build(self, Phi, APhi):
-        """Pure function: canvases -> stencil blocks (P, S, C, C)."""
+        """Pure function: canvases -> stencil blocks (P, S, C, C).
+
+        A_st[q, k] = sum_n phi_q[n] . Aphi_{q+delta_k}[n - delta_k*s].
+        Realized as a single ``lax.map`` body over the stencil offsets: the
+        neighbor canvas is zero-padded by R*s per side, so every offset
+        reads a full-canvas dynamic slice (one compiled body, no per-offset
+        shape variation; the padding zeros implement the overlap masking)."""
         cfg, C = self.cfg, self.C
         s = cfg.n_subdivisions
         Gd = self.canvas_dims
         canvas_grid = _rev(Gd)
         P = self.topo.n_patches
-        Phi_g = Phi.reshape((P,) + canvas_grid + (C, C))
+        pad = self.stencil_R * s
+        Phi_f = Phi.reshape((P, self.canvas_n, C, C))
         APhi_g = APhi.reshape((P,) + canvas_grid + (C, C))
-        blocks = []
-        for k, delta in enumerate(self.stencil_offsets):
-            t = delta * s                                 # node shift
-            sl_q, sl_p = [], []
-            for a in range(cfg.dim - 1, -1, -1):          # grid axis order
-                ta = int(t[a]); Ga = int(Gd[a])
-                sl_q.append(slice(max(0, ta), Ga + min(0, ta)))
-                sl_p.append(slice(max(0, -ta), Ga + min(0, -ta)))
-            phi_ov = Phi_g[(slice(None),) + tuple(sl_q)]
-            aphi_p = APhi_g[self.stencil_nbr[:, k]]
-            aphi_ov = aphi_p[(slice(None),) + tuple(sl_p)]
-            blk = jnp.einsum("bncd,bnce->bde",
-                             phi_ov.reshape(P, -1, C, C),
-                             aphi_ov.reshape(P, -1, C, C))
-            blk = blk * self.stencil_valid[:, k, None, None]
-            blocks.append(blk)
-        return jnp.stack(blocks, axis=1)                  # (P, S, C, C)
+        APhi_pad = jnp.pad(
+            APhi_g, [(0, 0)] + [(pad, pad)] * cfg.dim + [(0, 0), (0, 0)])
+        t_rev = jnp.asarray(
+            (self.stencil_offsets * s)[:, ::-1].astype(np.int32))  # (S, dim)
+
+        def body(k):
+            ap = APhi_pad[self.stencil_nbr[:, k]]        # (P, padded.., C, C)
+            starts = (jnp.int32(0),) + tuple(
+                (pad - t_rev[k, a]).astype(jnp.int32) for a in range(cfg.dim)
+            ) + (jnp.int32(0), jnp.int32(0))
+            sl = jax.lax.dynamic_slice(
+                ap, starts, (P,) + canvas_grid + (C, C))
+            blk = jnp.einsum("bncd,bnce->bde", Phi_f,
+                             sl.reshape(P, self.canvas_n, C, C))
+            return blk * self.stencil_valid[:, k, None, None]
+
+        A_st = jax.lax.map(body, jnp.arange(self.n_stencil))
+        return jnp.moveaxis(A_st, 0, 1)                  # (P, S, C, C)
 
     def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:
         u_nb = u[self.stencil_nbr]                            # (P, S, C)
@@ -455,48 +649,62 @@ class LODSolver:
                 x, NamedSharding(mesh, spec))
 
         chunk = self.cfg.patch_chunk
-        class_static = []
-        for ci in range(len(self.topo.classes)):
-            pids, gsub, is99, isdom, central, off = self._class_inputs(ci)
-            B = len(pids)
+
+        def pad_idx(B):
             if chunk and B > chunk:
-                # pad patch ids to a multiple of the chunk size so a single
-                # lax.map body covers every chunk (bounded memory, one
-                # compiled body per class)
                 n_chunks = -(-B // chunk)
-                idx = np.minimum(np.arange(n_chunks * chunk), B - 1)
-            else:
-                n_chunks, idx = 1, np.arange(B)
-            class_static.append(
-                (jnp.asarray(pids),
+                return n_chunks, np.minimum(np.arange(n_chunks * chunk), B - 1)
+            return 1, np.arange(B)
+
+        # each batch: (pids, gsub, extra per-patch inputs, n_chunks, B, fn)
+        batches = []
+        if self.cfg.kernel_mode == "uniform":
+            gsub, nlo, nhi, sides = self._uniform_inputs()
+            B = self.topo.n_patches
+            n_chunks, idx = pad_idx(B)
+            batches.append(
+                (jnp.asarray(np.arange(B)),
                  jnp.asarray(np.ascontiguousarray(gsub[idx])),
-                 jnp.asarray(is99[idx]), jnp.asarray(isdom[idx]),
-                 jnp.asarray(central[idx]), jnp.asarray(off[idx]),
-                 n_chunks, B, self._class_patch_fn(ci)))
+                 (jnp.asarray(nlo[idx]), jnp.asarray(nhi[idx]),
+                  jnp.asarray(sides[idx])),
+                 n_chunks, B, self._uniform_patch_fn()))
+        else:
+            for ci in range(len(self.topo.classes)):
+                pids, gsub, is99, isdom, central, off = self._class_inputs(ci)
+                B = len(pids)
+                n_chunks, idx = pad_idx(B)
+                batches.append(
+                    (jnp.asarray(pids),
+                     jnp.asarray(np.ascontiguousarray(gsub[idx])),
+                     (jnp.asarray(is99[idx]), jnp.asarray(isdom[idx]),
+                      jnp.asarray(central[idx]), jnp.asarray(off[idx])),
+                     n_chunks, B, self._class_patch_fn(ci)))
 
         nc = len(self.coef_names)
 
         def step(coefs, fem_rhs):
             Phi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
             APhi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
-            for (pids, gsub, is99, isdom, central, off, n_chunks, B,
-                 fn) in class_static:
-                vfn = jax.vmap(fn, in_axes=([0] * nc, 0, 0, 0, 0))
+            for pids, gsub, extras, n_chunks, B, fn in batches:
+                n_extra = len(extras)
+                vfn = jax.vmap(fn, in_axes=([0] * nc,) + (0,) * n_extra)
                 cl = [coefs[k][gsub] for k in self.coef_names]
                 if n_chunks == 1:
                     phi_c, aphi_c = vfn([constrain(c) for c in cl],
-                                        is99, isdom, central, off)
+                                        *[constrain(e) for e in extras])
                 else:
                     def resh(a):
                         return a.reshape((n_chunks, -1) + a.shape[1:])
                     phi_c, aphi_c = jax.lax.map(
                         lambda t: vfn(list(t[0]), *t[1:]),
-                        (tuple(resh(c) for c in cl), resh(is99), resh(isdom),
-                         resh(central), resh(off)))
+                        (tuple(resh(c) for c in cl),)
+                        + tuple(resh(e) for e in extras))
                     phi_c = phi_c.reshape((-1,) + phi_c.shape[2:])[:B]
                     aphi_c = aphi_c.reshape((-1,) + aphi_c.shape[2:])[:B]
-                Phi = Phi.at[pids].set(phi_c[:B])
-                APhi = APhi.at[pids].set(aphi_c[:B])
+                phi_c = phi_c[:B].reshape(B, -1, C, C)
+                aphi_c = aphi_c[:B].reshape(B, -1, C, C)
+                Phi = Phi.at[pids].set(phi_c)
+                APhi = APhi.at[pids].set(aphi_c)
             A_st = constrain(self._stencil_build(Phi, APhi))
             f_at = fem_rhs[self.canvas_gidx]                  # (P, canvas, C)
             rhs_c = constrain(jnp.einsum("pncd,pnc->pd", Phi, f_at))

@@ -1,0 +1,87 @@
+"""Uniform padded kernel == per-shape-class kernels.
+
+The uniform kernel (one shape class, masks as data) must reproduce the
+per-class kernels (exact window sizes, the form validated against the
+literal reference algorithm) bit-closely on every patch, for LOD and SLOD,
+scalar and vector, constant and random coefficients, 2D and 3D."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dealii_slod_tpu.config import SLODConfig
+from dealii_slod_tpu.models import LODSolver, DiffusionProblem, ElasticityProblem
+
+
+def _both(probcls, **kw):
+    sols = []
+    for mode in ("classes", "uniform"):
+        cfg = SLODConfig(kernel_mode=mode, **kw)
+        sol = LODSolver(cfg, probcls(cfg), verbose=False)
+        sol.compute_basis()
+        sols.append(sol)
+    return sols
+
+
+@pytest.mark.parametrize("stab", [False, True])
+@pytest.mark.parametrize("constant", [True, False])
+def test_uniform_matches_classes_2d(stab, constant):
+    a, b = _both(DiffusionProblem, dim=2, n_global_refinements=3,
+                 n_subdivisions=2, oversampling=2, lod_stabilization=stab,
+                 constant_coefficients=constant, coef_seed=5)
+    # the SLOD pseudo-inverse goes through the Gram matrix BD^T BD
+    # (reference semantics, LOD.cc:660-667), whose squared conditioning
+    # limits cross-implementation agreement to ~1e-8
+    tol = 3e-7 if stab else 1e-11
+    np.testing.assert_allclose(np.asarray(a.Phi), np.asarray(b.Phi),
+                               atol=tol)
+    np.testing.assert_allclose(np.asarray(a.APhi), np.asarray(b.APhi),
+                               atol=max(tol, 1e-9) * 30)
+
+
+def test_uniform_matches_classes_elasticity():
+    a, b = _both(ElasticityProblem, dim=2, n_global_refinements=2,
+                 n_subdivisions=2, oversampling=1, lod_stabilization=True,
+                 constant_coefficients=False, coef_seed=2)
+    np.testing.assert_allclose(np.asarray(a.Phi), np.asarray(b.Phi),
+                               atol=3e-7)
+    np.testing.assert_allclose(np.asarray(a.APhi), np.asarray(b.APhi),
+                               atol=1e-5)
+
+
+def test_uniform_matches_classes_3d():
+    a, b = _both(DiffusionProblem, dim=3, n_global_refinements=2,
+                 n_subdivisions=2, oversampling=1, lod_stabilization=True,
+                 constant_coefficients=False, coef_seed=4)
+    np.testing.assert_allclose(np.asarray(a.Phi), np.asarray(b.Phi),
+                               atol=3e-7)
+    np.testing.assert_allclose(np.asarray(a.APhi), np.asarray(b.APhi),
+                               atol=1e-5)
+
+
+def test_uniform_full_domain_patches():
+    """When l >= N some/all patches cover the whole domain; the SLOD branch
+    must degenerate to the LOD candidate there (reference LOD.cc:563-564)."""
+    a, b = _both(DiffusionProblem, dim=2, n_global_refinements=2,
+                 n_subdivisions=2, oversampling=4, lod_stabilization=True,
+                 constant_coefficients=True)
+    np.testing.assert_allclose(np.asarray(a.Phi), np.asarray(b.Phi),
+                               atol=1e-11)
+
+
+def test_uniform_chunked_build_step():
+    cfg = SLODConfig(dim=2, n_global_refinements=3, n_subdivisions=2,
+                     oversampling=1, lod_stabilization=True,
+                     constant_coefficients=False, kernel_mode="uniform",
+                     patch_chunk=7)
+    sol = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+    sol.assemble_fine_rhs()
+    import jax
+    u1, _ = jax.jit(sol.build_step())(sol.coef_q, sol.fem_rhs)
+    cfg2 = SLODConfig(dim=2, n_global_refinements=3, n_subdivisions=2,
+                      oversampling=1, lod_stabilization=True,
+                      constant_coefficients=False, kernel_mode="classes")
+    sol2 = LODSolver(cfg2, DiffusionProblem(cfg2), verbose=False)
+    sol2.assemble_fine_rhs()
+    u2, _ = jax.jit(sol2.build_step())(sol2.coef_q, sol2.fem_rhs)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-9)
