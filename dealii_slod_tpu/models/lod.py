@@ -779,6 +779,60 @@ class LODSolver:
         return uH, uH_fine
 
     # ------------------------------------------------------------------
+    # Output (reference output_coarse_results LOD.cc:248-293, fine VTU
+    # LOD.cc:1262-1377, coefficients VTU Diffusion.h:70-108, parameter dump
+    # LOD.cc:60-62)
+    # ------------------------------------------------------------------
+
+    def write_outputs(self):
+        from dealii_slod_tpu.utils.io import (write_coarse_grid_vtu,
+                                              write_fine_grid_vtu,
+                                              write_subcell_field_vtu)
+        cfg = self.cfg
+        out = cfg.output_directory
+        name = cfg.output_name
+        import os
+        os.makedirs(out, exist_ok=True)
+
+        # used parameters dump (print_parameters, LOD.cc:60-62)
+        with open(os.path.join(
+                out, f"used_parameters_{cfg.dim}.prm"), "w") as f:
+            f.write(cfg.to_prm())
+
+        # coefficient fields at fine-subcell resolution
+        centers = (cartesian_coords(self.grid.fine_cell_dims) + 0.5) \
+            * self.grid.h
+        coef_cells = {k: np.asarray(f)
+                      for k, f in self.problem.coefficients(centers).items()}
+        write_subcell_field_vtu(
+            os.path.join(out, f"{name}_coefficients.vtu"),
+            self.grid, coef_cells)
+
+        # fine fields
+        node_xy = self.grid.node_coords()
+        pd = {}
+        if hasattr(self, "fem_solution"):
+            pd["fem_reference"] = np.asarray(self.fem_solution)
+        pd["exact_solution"] = self.parse(cfg.exact_solution)(node_xy)
+        pd["exact_rhs"] = self.parse(cfg.rhs)(node_xy)
+        if hasattr(self, "lod_solution"):
+            pd["lod_solution"] = np.asarray(self.lod_solution)
+        if hasattr(self, "coarse_fem_on_fine"):
+            pd["fem_coarse_solution"] = np.asarray(self.coarse_fem_on_fine)
+        write_fine_grid_vtu(os.path.join(out, f"{name}_fine.vtu"),
+                            self.grid, pd)
+
+        # coarse (per-cell DGQ0) fields
+        if hasattr(self, "coarse_solution"):
+            cell_centers = (cartesian_coords(self.grid.cell_dims) + 0.5) \
+                * self.grid.H
+            cd = {"LOD_solution": np.asarray(self.coarse_solution),
+                  "exact_solution":
+                      self.parse(cfg.exact_solution)(cell_centers)}
+            write_coarse_grid_vtu(os.path.join(out, f"{name}_coarse.vtu"),
+                                  self.grid, cd)
+
+    # ------------------------------------------------------------------
     # Full pipeline
     # ------------------------------------------------------------------
 
@@ -873,6 +927,10 @@ class LODSolver:
             if key in results:
                 self.log(label)
                 self.log(str(results[key]))
+
+        if cfg.write_output:
+            with self.timer.section("6: fine output"):
+                self.write_outputs()
 
         if self.verbose:
             self.log(self.timer.summary())
