@@ -294,24 +294,38 @@ class PatchTopology:
     def __post_init__(self):
         g = self.grid
         N, dim, ell = g.n_coarse, g.dim, self.oversampling
-        centers = cartesian_coords(g.cell_dims)                 # (P, dim)
-        lo = np.clip(centers - ell, 0, None)
-        hi = np.clip(centers + ell, None, N - 1)
-        shape = (hi - lo + 1).astype(np.int64)                  # (P, dim)
-
         self.n_patches = g.n_cells
+
+        native = None
+        try:
+            from dealii_slod_tpu.utils import native as _native
+            native = _native.build_patches(dim, N, ell)
+        except Exception:
+            native = None
+        if native is not None:
+            lo32, shape32, central, sides = native
+            lo = lo32.astype(np.int64)
+            shape = shape32.astype(np.int64)
+            self.central_cell_local = central
+            self.side_is_domain = sides
+        else:
+            centers = cartesian_coords(g.cell_dims)             # (P, dim)
+            lo = np.clip(centers - ell, 0, None)
+            hi = np.clip(centers + ell, None, N - 1)
+            shape = (hi - lo + 1).astype(np.int64)              # (P, dim)
+            self.central_cell_local = ravel(
+                centers - lo, shape).astype(np.int32)
+            # which patch sides lie on the domain boundary (-> boundary id 0
+            # instead of 99, LOD.cc:830-843)
+            fid = np.empty((self.n_patches, 2 * dim), dtype=bool)
+            for k in range(dim):
+                fid[:, 2 * k] = lo[:, k] == 0
+                fid[:, 2 * k + 1] = hi[:, k] == N - 1
+            self.side_is_domain = fid
+
         self.patch_lo = lo                                      # coarse coords
         self.patch_shape = shape
         self.origin_nodes = lo * g.n_sub                        # fine node coords
-        # central cell, local lexicographic index inside the window
-        self.central_cell_local = ravel(centers - lo, shape).astype(np.int32)
-        # which patch sides lie on the domain boundary (-> boundary id 0
-        # instead of 99, LOD.cc:830-843)
-        fid = np.empty((self.n_patches, 2 * dim), dtype=bool)
-        for k in range(dim):
-            fid[:, 2 * k] = lo[:, k] == 0
-            fid[:, 2 * k + 1] = hi[:, k] == N - 1
-        self.side_is_domain = fid
 
         # ---- shape classes ------------------------------------------------
         keys = [tuple(sh) for sh in shape]

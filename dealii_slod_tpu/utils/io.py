@@ -52,6 +52,16 @@ def write_vtu(path: str, points: np.ndarray, cells: np.ndarray, dim: int,
     n_pts, n_cells = len(pts3), len(cells_v)
     k = cells_v.shape[1]
 
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # prefer the native binary writer (native/slod_native.cpp)
+    try:
+        from dealii_slod_tpu.utils import native
+        if native.write_vtu_binary(path, pts3, cells_v, ctype,
+                                   point_data or {}, cell_data or {}):
+            return path
+    except Exception:
+        pass
+
     buf = io.StringIO()
     w = buf.write
     w('<?xml version="1.0"?>\n')
