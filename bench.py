@@ -45,17 +45,20 @@ def main():
     solver.assemble_fine_rhs()
     step = jax.jit(solver.build_step())
 
+    import numpy as np
+
     def pipeline():
         u, A_st = step(solver.coef_q, solver.fem_rhs)
-        jax.block_until_ready(u)
-        return u
+        # fetch to host: on the axon backend block_until_ready does NOT
+        # wait for the computation, so timings must materialize the value
+        return np.asarray(u)
 
     # warm-up / compile
     t0 = time.perf_counter()
     pipeline()
     compile_s = time.perf_counter() - t0
 
-    # timed runs
+    # timed runs (fetch-inclusive)
     times = []
     for _ in range(2):
         t0 = time.perf_counter()

@@ -195,6 +195,10 @@ class SLODConfig:
     # --- TPU runtime -------------------------------------------------------
     dtype: str = "float64"            # compute dtype ("float64" on CPU tests,
                                       # "float32" for TPU speed)
+    matmul_precision: str = "highest"  # TPU matmul precision for the float32
+                                      # path: "highest" = full f32 (6-pass),
+                                      # "default" = bf16 passes (fast, ~1e-3
+                                      # relative error in the basis)
     kernel_mode: str = "uniform"      # "uniform": one padded shape class,
                                       # masks as data (one compiled kernel,
                                       # uniform batch — the TPU-native form);

@@ -254,9 +254,14 @@ class LODSolver:
 
     def _build_class_kernel(self, ci: int):
         one_patch = self._class_patch_fn(ci)
-        return jax.jit(jax.vmap(one_patch,
-                                in_axes=([0] * len(self.coef_names),
-                                         0, 0, 0, 0)))
+        vfn = jax.vmap(one_patch, in_axes=([0] * len(self.coef_names),
+                                           0, 0, 0, 0))
+
+        def run(*args):
+            with jax.default_matmul_precision(self.cfg.matmul_precision):
+                return vfn(*args)
+
+        return jax.jit(run)
 
     def _class_inputs(self, ci: int):
         """Static per-class batch inputs (NumPy): subcell gather indices
@@ -337,6 +342,16 @@ class LODSolver:
              * cfg.n_subdivisions).astype(np.int32))         # (cells, dim)
         s = cfg.n_subdivisions
         cen_dofs = jnp.asarray(self.canvas_center_cell * C + np.arange(C))
+        # static canvas-interior restriction: every patch's window-interior
+        # dofs lie in the canvas interior (windows are canvas-aligned boxes),
+        # so the SPD solve runs at (Ks-1)^dim instead of (Ks+1)^dim —
+        # a ((Ks+1)/(Ks-1))^(3 dim) Cholesky-FLOP saving
+        int_dofs = jnp.asarray(sc.interior_dof_indices())
+        int_nodes_np = sc.interior_nodes
+        int_coords = jnp.asarray(
+            sc.node_coords_local[int_nodes_np].astype(np.int32))
+        nI = len(int_nodes_np) * C
+        PT_I = jnp.asarray(sc.PT[sc.interior_dof_indices()], dt)  # (nI, cD)
 
         def one_patch(coef_list, nlo, nhi, sides_dom):
             in_sub = ((sub_coords >= nlo) & (sub_coords <= nhi - 1)
@@ -345,40 +360,40 @@ class LODSolver:
                      for k, c in zip(self.coef_names, coef_list)}
             Ksub = make_subcell_matrices(et, coefs)
             A_raw = assemble_dense(Ksub, flat_idx, nD)
-            node_int = ((node_coords > nlo) & (node_coords < nhi)).all(axis=1)
-            mask_int = jnp.repeat(node_int, C).astype(dt)    # (nD,)
-            # zero rows/cols outside the interior + unit diagonal: the
-            # interior block is the SPD submatrix the row-cleared reference
-            # operator solves (LOD.cc:537-546)
-            A_solve = (A_raw * mask_int[:, None] * mask_int[None, :]
-                       + jnp.diag(1.0 - mask_int))
+            # window-interior mask restricted to the static canvas interior
+            node_int = ((int_coords > nlo) & (int_coords < nhi)).all(axis=1)
+            m = jnp.repeat(node_int, C).astype(dt)           # (nI,)
+            A_II = A_raw[int_dofs[:, None], int_dofs[None, :]]
+            # zero rows/cols outside the window interior + unit diagonal:
+            # the interior block is the SPD submatrix the row-cleared
+            # reference operator solves (LOD.cc:537-546)
+            A_solve = A_II * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
             cell_valid = ((cell_lo >= nlo)
                           & (cell_lo + s <= nhi)).all(axis=1)
             cvd = jnp.repeat(cell_valid, C).astype(dt)       # (cD,)
-            PT_m = PT * mask_int[:, None] * cvd[None, :]
+            PT_m = PT_I * m[:, None] * cvd[None, :]
             L = cholesky_factor(A_solve)
-            Ainv_PT = cholesky_solve(L, PT_m)                # (nD, cD)
+            Ainv_PT = cholesky_solve(L, PT_m)                # (nI, cD)
             T = (PT_m.T @ Ainv_PT) / Hdim + jnp.diag(1.0 - cvd)
             Tinv = jnp.linalg.inv(T)
+            A_cols_I = A_raw[:, int_dofs]                    # (nD, nI)
+
+            node_in = ((node_coords >= nlo)
+                       & (node_coords <= nhi)).all(axis=1)
+            on_lo = node_coords == nlo                       # (n_nodes, dim)
+            on_hi = node_coords == nhi
+            isdom = (((on_lo & sides_dom[0::2])
+                      | (on_hi & sides_dom[1::2])).any(axis=1) & node_in)
 
             if slod:
-                node_in = ((node_coords >= nlo)
-                           & (node_coords <= nhi)).all(axis=1)
-                on_lo = node_coords == nlo                   # (n_nodes, dim)
-                on_hi = node_coords == nhi
-                dom_lo = sides_dom[0::2]                     # (dim,)
-                dom_hi = sides_dom[1::2]
-                is99 = (((on_lo & ~dom_lo) | (on_hi & ~dom_hi)).any(axis=1)
-                        & node_in)
-                isdom = (((on_lo & dom_lo) | (on_hi & dom_hi)).any(axis=1)
-                         & node_in)
+                is99 = (((on_lo & ~sides_dom[0::2])
+                         | (on_hi & ~sides_dom[1::2])).any(axis=1) & node_in)
                 is99d = jnp.repeat(is99, C).astype(dt)
                 # S_boundary rows (unconstrained stiffness at 99-dofs,
-                # LOD.cc:520-528); interior-column restriction is implicit
-                # because Ainv_PT vanishes outside the interior
-                S_rows = A_raw * is99d[:, None]
+                # LOD.cc:520-528), interior columns
+                S_AiPT = (A_cols_I * is99d[:, None]) @ Ainv_PT
                 PT_b = PT * is99d[:, None] * cvd[None, :]
-                BD = (S_rows @ Ainv_PT - PT_b) @ Tinv        # (nD, cD)
+                BD = (S_AiPT - PT_b) @ Tinv                  # (nD, cD)
                 cols = []
                 for d in range(C):
                     cen = self.canvas_center_cell * C + d
@@ -388,10 +403,16 @@ class LODSolver:
                     newBD = BD * colmask[None, :]
                     G = newBD.T @ newBD
                     g0 = newBD.T @ b0
-                    U, sig, Vt = jnp.linalg.svd(G)
-                    inv_sig = jnp.where(sig > thr * sig[0], 1.0 / sig, 0.0)
-                    uv = U.T @ g0
-                    terms = (inv_sig * uv)[:, None] * Vt
+                    # spectral pseudo-inverse via eigh — G is the PSD Gram
+                    # matrix, so eigenpairs == singular triplets (descending
+                    # reorder); same semantics as compute_inverse_svd
+                    # (LOD.cc:667) but ~1.3x faster than SVD on TPU
+                    lam, V = jnp.linalg.eigh(G)
+                    lam = lam[::-1]
+                    V = V[:, ::-1]
+                    inv_sig = jnp.where(lam > thr * lam[0], 1.0 / lam, 0.0)
+                    uv = V.T @ g0
+                    terms = (inv_sig * uv)[:, None] * V.T
                     d0 = -terms.sum(axis=0)
 
                     def body(carry, term):
@@ -404,22 +425,17 @@ class LODSolver:
                         body, (d0, jnp.asarray(False)), terms[::-1])
                     c = Tinv @ (onehot + dvec * colmask)
                     cols.append(Ainv_PT @ c)
-                phi = jnp.stack(cols, axis=-1)               # (nD, C)
+                phi_int = jnp.stack(cols, axis=-1)           # (nI, C)
             else:
-                phi = Ainv_PT @ jnp.take(Tinv, cen_dofs, axis=1)
-            norms = jnp.sqrt((phi ** 2).sum(axis=0))
-            phi = phi / norms
-            Aphi = A_raw @ phi
-            if slod:
-                Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
-            else:
-                node_in = ((node_coords >= nlo)
-                           & (node_coords <= nhi)).all(axis=1)
-                on_lo = node_coords == nlo
-                on_hi = node_coords == nhi
-                isdom = (((on_lo & sides_dom[0::2])
-                          | (on_hi & sides_dom[1::2])).any(axis=1) & node_in)
-                Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
+                phi_int = Ainv_PT @ jnp.take(Tinv, cen_dofs, axis=1)
+            norms = jnp.sqrt((phi_int ** 2).sum(axis=0))
+            phi_int = phi_int / norms
+            phi = jnp.zeros((nD, C), dt).at[int_dofs].set(phi_int)
+            # premultiplied basis (LOD.cc:758-765): phi is supported on the
+            # window interior, so A_semi phi == A[:, interior] @ phi_int with
+            # domain-boundary rows zeroed
+            Aphi = A_cols_I @ phi_int
+            Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
             # outputs are already canvas-aligned
             return (phi.reshape(n_nodes, C, C),
                     Aphi.reshape(n_nodes, C, C))
@@ -438,8 +454,13 @@ class LODSolver:
         chunk = self.cfg.patch_chunk or P
         if self._uniform_kernel_cache is None:
             fn = self._uniform_patch_fn()
-            self._uniform_kernel_cache = jax.jit(jax.vmap(
-                fn, in_axes=([0] * len(self.coef_names), 0, 0, 0)))
+            vfn = jax.vmap(fn, in_axes=([0] * len(self.coef_names), 0, 0, 0))
+
+            def run(*args):
+                with jax.default_matmul_precision(self.cfg.matmul_precision):
+                    return vfn(*args)
+
+            self._uniform_kernel_cache = jax.jit(run)
         kernel = self._uniform_kernel_cache
         gsub, nlo, nhi, sides = self._uniform_inputs()
         gsub = jnp.asarray(gsub)
@@ -683,6 +704,10 @@ class LODSolver:
         nc = len(self.coef_names)
 
         def step(coefs, fem_rhs):
+            with jax.default_matmul_precision(self.cfg.matmul_precision):
+                return _step_inner(coefs, fem_rhs)
+
+        def _step_inner(coefs, fem_rhs):
             Phi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
             APhi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
             for pids, gsub, extras, n_chunks, B, fn in batches:

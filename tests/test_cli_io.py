@@ -16,6 +16,16 @@ def rundir(tmp_path, monkeypatch):
     return tmp_path
 
 
+def _vtu_header(path):
+    """Parse the XML header of a VTU file (handles the native binary
+    appended format, whose payload is raw bytes)."""
+    raw = open(path, "rb").read()
+    if b"<AppendedData" in raw:
+        header = raw.split(b"<AppendedData", 1)[0].decode()
+        return ET.fromstring(header + "</VTKFile>"), raw
+    return ET.fromstring(raw.decode()), raw
+
+
 def test_cli_creates_prm_and_outputs(rundir):
     # first run with a missing prm writes the defaults (reference README:3)
     rc = cli_main(["diffusion", "--no-fine-solve"])
@@ -24,17 +34,25 @@ def test_cli_creates_prm_and_outputs(rundir):
     assert (rundir / "used_parameters_2.prm").exists()
     for f in ("solution_fine.vtu", "solution_coarse.vtu",
               "solution_coefficients.vtu"):
-        root = ET.parse(rundir / f).getroot()
+        root, _ = _vtu_header(rundir / f)
         piece = root.find(".//Piece")
         assert piece is not None
         names = {d.get("Name") for d in piece.iter("DataArray")}
         assert "connectivity" in names
 
     # fine VTU carries the LOD field with finite values
-    root = ET.parse(rundir / "solution_fine.vtu").getroot()
-    arr = [d for d in root.iter("DataArray")
-           if d.get("Name") == "lod_solution"][0]
-    v = np.fromstring(arr.text.replace("\n", " "), sep=" ")
+    root, raw = _vtu_header(rundir / "solution_fine.vtu")
+    arrs = {d.get("Name"): d for d in root.iter("DataArray")}
+    assert "lod_solution" in arrs
+    if b"<AppendedData" in raw:
+        off = int(arrs["lod_solution"].get("offset"))
+        blob = raw.split(b'encoding="raw">', 1)[1]
+        blob = blob[blob.index(b"_") + 1:]
+        n = np.frombuffer(blob[off:off + 8], dtype=np.uint64)[0]
+        v = np.frombuffer(blob[off + 8:off + 8 + int(n)], dtype=np.float64)
+    else:
+        v = np.fromstring(arrs["lod_solution"].text.replace("\n", " "),
+                          sep=" ")
     assert v.size == 81
     assert np.isfinite(v).all() and np.abs(v).max() > 0
 
