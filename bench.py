@@ -21,6 +21,16 @@ import jax
 
 
 def main():
+    # persistent compilation cache: repeat driver runs skip the multi-minute
+    # remote TPU compile
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from dealii_slod_tpu.config import ReductionControl, SLODConfig
     from dealii_slod_tpu.models import DiffusionProblem, LODSolver
 

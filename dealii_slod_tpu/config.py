@@ -182,6 +182,13 @@ class SLODConfig:
     coef_max: float = 100.0
     coef_refinement: int = 8          # random field lives on a 2^r per-axis grid
     coef_seed: int = 0
+    coef_field: str = "random"        # "random" (problem_parameter) or
+                                      # "channel" (channel_parameter,
+                                      # Elasticity.h:56-89)
+    fine_preconditioner: str = "jacobi"  # "jacobi" or "two_level" (additive
+                                      # Jacobi + coarse LOD-space correction —
+                                      # the TPU-native stand-in for AMG at
+                                      # high contrast)
     reference_parity: bool = False    # mirror the reference bit-for-bit:
                                       # glibc-rand coefficient field (always
                                       # random, as in Diffusion.h:62) and the

@@ -122,6 +122,13 @@ class ChannelField:
 
 def make_field(cfg, dim: int, seed_offset: int = 0,
                stream: "GlibcRand" = None):
+    if getattr(cfg, "coef_field", "random") == "channel":
+        return ChannelField(cfg.coef_min, cfg.coef_max, cfg.coef_refinement,
+                            dim)
+    return _make_random_field(cfg, dim, seed_offset, stream)
+
+
+def _make_random_field(cfg, dim, seed_offset, stream):
     """Build the coefficient field.
 
     In ``reference_parity`` mode the field mirrors the reference exactly: a

@@ -594,20 +594,64 @@ class LODSolver:
         self.fem_rhs = rhs
         return rhs
 
+    def _two_level_precond(self, diag):
+        """Additive two-level preconditioner for the fine solve:
+        M^-1 r = r / diag + C A_LOD^-1 C^T r — the LOD space itself as the
+        coarse correction (the TPU-native stand-in for the reference's AMG,
+        LOD.cc:1074-1078, and markedly stronger at high contrast because
+        the coarse space is coefficient-adapted)."""
+        P, C = self.topo.n_patches, self.C
+        # densify the stencil coarse operator once and factorize
+        nbr = np.asarray(self.stencil_nbr)
+        valid = np.asarray(self.stencil_valid)
+        A_st = np.asarray(self.A_stencil)
+        n = P * C
+        A_dense = np.zeros((n, n), A_st.dtype)
+        for k in range(self.n_stencil):
+            q = np.nonzero(valid[:, k])[0]
+            p = nbr[q, k]
+            A_dense[(q[:, None, None] * C + np.arange(C)[None, :, None]),
+                    (p[:, None, None] * C + np.arange(C)[None, None, :])] \
+                = A_st[q, k]
+        L = cholesky_factor(jnp.asarray(A_dense, self.dtype))
+
+        def precond(r):
+            rc = jnp.einsum("pncd,pnc->pd", self.Phi,
+                            r[self.canvas_gidx])              # C^T r
+            y = cholesky_solve(L, rc.reshape(-1, 1))[:, 0].reshape(P, C)
+            vals = jnp.einsum("pncd,pd->pnc", self.Phi, y)    # C y
+            coarse = jnp.zeros_like(r).at[self.canvas_gidx].add(vals)
+            coarse = jnp.where(self.fine_bnd[:, None], 0.0, coarse)
+            return r / diag + coarse
+
+        return precond
+
     def solve_fine_fem(self):
         """Reference fine-scale FEM solve: CG + Jacobi (replaces CG + AMG,
         LOD.cc:1066-1079; AMG has no clean TPU analog and this solve is a
-        comparison baseline)."""
+        comparison baseline), optionally with the LOD-space two-level
+        preconditioner (cfg.fine_preconditioner = 'two_level')."""
         op = FineOperator(self.grid, self.et, self.conn, self.coef_q,
                           dirichlet_mask=self.fine_bnd)
         d = op.diagonal()
+        if (self.cfg.fine_preconditioner == "two_level"
+                and hasattr(self, "A_stencil")
+                and self.topo.n_patches * self.C <= 32768):
+            precond = self._two_level_precond(d)
+        else:
+            precond = lambda r: r / d
         rc = self.cfg.fine_solver
         res = cg(op, self.fem_rhs, max_steps=rc.max_steps,
                  tolerance=rc.tolerance, reduce=rc.reduce,
-                 precond=lambda r: r / d)
+                 precond=precond)
         u = jnp.where(self.fine_bnd[:, None], self.fine_bc_values, res.x)
         self.fem_solution = u
         self.fine_cg = res
+        if int(res.n_iter) >= rc.max_steps:
+            # surface non-convergence like the reference's
+            # SolverControl::NoConvergence (LODtools.h:434-438)
+            self.log(f"WARNING: fine CG did not converge in {rc.max_steps} "
+                     f"iterations (residual {float(res.residual):.3e})")
         return u
 
     def solve_coarse(self):

@@ -1,0 +1,72 @@
+"""Solver extras: two-level preconditioner, channel field, batched multi-RHS
+solve vs per-column (mirrors reference tests mv_solve_01/02)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dealii_slod_tpu.config import ReductionControl, SLODConfig
+from dealii_slod_tpu.models import LODSolver, DiffusionProblem
+from dealii_slod_tpu.models.coefficients import ChannelField
+from dealii_slod_tpu.ops.solvers import cholesky_factor, cholesky_solve, spd_solve
+
+
+def test_multirhs_equals_percolumn():
+    # mirrors mv_solve_02.cc: block multi-RHS solve == column-by-column
+    rng = np.random.default_rng(0)
+    n, k = 40, 7
+    M = rng.standard_normal((n, n))
+    A = jnp.asarray(M @ M.T + n * np.eye(n))
+    B = jnp.asarray(rng.standard_normal((n, k)))
+    X_block = spd_solve(A, B)
+    L = cholesky_factor(A)
+    X_cols = jnp.stack([cholesky_solve(L, B[:, j:j + 1])[:, 0]
+                        for j in range(k)], axis=1)
+    np.testing.assert_allclose(np.asarray(X_block), np.asarray(X_cols),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(A @ X_block), np.asarray(B),
+                               rtol=1e-9)
+
+
+def test_two_level_preconditioner_accelerates_and_agrees():
+    sols = {}
+    for precond in ("jacobi", "two_level"):
+        cfg = SLODConfig(dim=2, n_global_refinements=3, n_subdivisions=4,
+                         oversampling=2, lod_stabilization=True,
+                         constant_coefficients=False, coef_seed=3,
+                         coef_max=1e4, rhs="1", bc="0",
+                         fine_preconditioner=precond,
+                         fine_solver=ReductionControl(4000, 1e-10, 1e-10))
+        sol = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+        sol.compute_basis()
+        sol.assemble_coarse_operator()
+        sol.assemble_fine_rhs()
+        sol.solve_fine_fem()
+        sols[precond] = sol
+    it_j = int(sols["jacobi"].fine_cg.n_iter)
+    it_t = int(sols["two_level"].fine_cg.n_iter)
+    assert it_t < it_j / 2, (it_j, it_t)
+    np.testing.assert_allclose(np.asarray(sols["jacobi"].fem_solution),
+                               np.asarray(sols["two_level"].fem_solution),
+                               atol=1e-8)
+
+
+def test_channel_field():
+    f = ChannelField(1.0, 100.0, 4)  # eta = 1/16
+    pts = np.array([[0.33, 0.5],    # inside first x-channel
+                    [0.5, 0.33],    # inside first y-channel
+                    [0.33, 0.33],   # both
+                    [0.5, 0.5]])    # neither
+    v = f(pts)
+    np.testing.assert_allclose(v, [51.0, 51.0, 101.0, 1.0])
+
+
+def test_channel_field_config_wiring():
+    cfg = SLODConfig(dim=2, n_global_refinements=2, n_subdivisions=2,
+                     oversampling=1, coef_field="channel",
+                     constant_coefficients=False)
+    prob = DiffusionProblem(cfg)
+    pts = np.array([[0.5, 0.5]])
+    assert prob.coefficients(pts)["alpha"][0] == 1.0
+    sol = LODSolver(cfg, prob, verbose=False)
+    res = sol.run()
+    assert np.isfinite(np.asarray(res["lod_solution"])).all()
