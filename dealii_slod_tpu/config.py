@@ -202,10 +202,12 @@ class SLODConfig:
     # --- TPU runtime -------------------------------------------------------
     dtype: str = "float64"            # compute dtype ("float64" on CPU tests,
                                       # "float32" for TPU speed)
-    matmul_precision: str = "highest"  # TPU matmul precision for the float32
-                                      # path: "highest" = full f32 (6-pass),
-                                      # "default" = bf16 passes (fast, ~1e-3
-                                      # relative error in the basis)
+    matmul_precision: str = "high"    # TPU matmul precision for the float32
+                                      # path: "high" = bf16_3x (~f32-level
+                                      # solution accuracy, measured 8e-4 vs
+                                      # f64 — same as 6-pass "highest" at
+                                      # half the cost); "default" = single
+                                      # bf16 pass (~1e-2, fast)
     kernel_mode: str = "uniform"      # "uniform": one padded shape class,
                                       # masks as data (one compiled kernel,
                                       # uniform batch — the TPU-native form);

@@ -24,3 +24,6 @@ class DiffusionProblem:
     def coefficients(self, points: np.ndarray) -> dict:
         """Coefficient values at quadrature points (..., dim) -> {..., }."""
         return {"alpha": self.alpha(points)}
+
+    def is_constant(self) -> bool:
+        return getattr(self.alpha, "values", 0) is None

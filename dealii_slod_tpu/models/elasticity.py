@@ -33,3 +33,7 @@ class ElasticityProblem:
 
     def coefficients(self, points: np.ndarray) -> dict:
         return {"lam": self.lam(points), "mu": self.mu(points)}
+
+    def is_constant(self) -> bool:
+        return (getattr(self.lam, "values", 0) is None
+                and getattr(self.mu, "values", 0) is None)

@@ -449,6 +449,20 @@ class LODSolver:
             return self._compute_basis_uniform()
         return self._compute_basis_classes()
 
+    def _patch_dedup(self, nlo, nhi, sides):
+        """For constant coefficient fields the basis depends only on the
+        window geometry + domain-side flags: compute unique signatures once
+        and broadcast (generalizes the reference's full-size-patch cache,
+        LOD.cc:354-361, from 'interior patches' to every repeated geometry —
+        P=N^dim patch solves collapse to O((l+2)^dim))."""
+        if not (hasattr(self.problem, "is_constant")
+                and self.problem.is_constant()):
+            return None
+        key = np.concatenate([nlo, nhi, sides.astype(np.int32)], axis=1)
+        _, rep, inv = np.unique(key, axis=0, return_index=True,
+                                return_inverse=True)
+        return rep.astype(np.int64), inv.astype(np.int64)
+
     def _compute_basis_uniform(self):
         P, C = self.topo.n_patches, self.C
         chunk = self.cfg.patch_chunk or P
@@ -463,21 +477,34 @@ class LODSolver:
             self._uniform_kernel_cache = jax.jit(run)
         kernel = self._uniform_kernel_cache
         gsub, nlo, nhi, sides = self._uniform_inputs()
+
+        dedup = self._patch_dedup(nlo, nhi, sides)
+        if dedup is not None:
+            rep, inv = dedup
+            gsub, nlo, nhi, sides = (gsub[rep], nlo[rep], nhi[rep],
+                                     sides[rep])
+        B = len(nlo)
+
         gsub = jnp.asarray(gsub)
         nlo_j, nhi_j = jnp.asarray(nlo), jnp.asarray(nhi)
         sides_j = jnp.asarray(sides)
-        Phi = jnp.zeros((P, self.canvas_n, C, C), self.dtype)
-        APhi = jnp.zeros((P, self.canvas_n, C, C), self.dtype)
-        for lo in range(0, P, chunk):
-            idx = np.minimum(np.arange(lo, lo + chunk), P - 1)
+        Phi = jnp.zeros((B, self.canvas_n, C, C), self.dtype)
+        APhi = jnp.zeros((B, self.canvas_n, C, C), self.dtype)
+        step = min(chunk, B)
+        for lo in range(0, B, step):
+            idx = np.minimum(np.arange(lo, lo + step), B - 1)
             jidx = jnp.asarray(idx)
             cl = [self.coef_q[k][gsub[jidx]] for k in self.coef_names]
             phi_c, aphi_c = kernel(cl, nlo_j[jidx], nhi_j[jidx],
                                    sides_j[jidx])
-            keep = min(lo + chunk, P) - lo
+            keep = min(lo + step, B) - lo
             ids = jnp.asarray(np.arange(lo, lo + keep))
             Phi = Phi.at[ids].set(phi_c[:keep].reshape(keep, -1, C, C))
             APhi = APhi.at[ids].set(aphi_c[:keep].reshape(keep, -1, C, C))
+        if dedup is not None:
+            jinv = jnp.asarray(inv)
+            Phi = Phi[jinv]
+            APhi = APhi[jinv]
         self.Phi, self.APhi = Phi, APhi
         return Phi, APhi
 

@@ -144,3 +144,48 @@ def test_reference_parity_mode_glibc_field():
     conv = GlibcRand().uniform_reference(1, 100, 2)
     np.testing.assert_array_equal(
         conv, [84.1785888671875, 40.043910980224609])
+
+
+def test_dedup_matches_full_computation():
+    """Constant-coefficient dedup (unique window signatures) must reproduce
+    the full per-patch computation exactly."""
+    import jax
+    from dealii_slod_tpu.config import SLODConfig
+    cfg = SLODConfig(dim=2, n_global_refinements=3, n_subdivisions=2,
+                     oversampling=2, lod_stabilization=True,
+                     constant_coefficients=True)
+    a = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+    a.compute_basis()
+    # disable dedup by monkeypatching is_constant
+    cfg2 = SLODConfig(dim=2, n_global_refinements=3, n_subdivisions=2,
+                      oversampling=2, lod_stabilization=True,
+                      constant_coefficients=True)
+    prob2 = DiffusionProblem(cfg2)
+    prob2.is_constant = lambda: False
+    b = LODSolver(cfg2, prob2, verbose=False)
+    b.compute_basis()
+    np.testing.assert_allclose(np.asarray(a.Phi), np.asarray(b.Phi),
+                               atol=1e-13)
+    # unique signatures are bounded by (2l+3)^dim independent of N
+    gsub, nlo, nhi, sides = a._uniform_inputs()
+    rep, inv = a._patch_dedup(nlo, nhi, sides)
+    assert len(rep) <= (2 * 2 + 3) ** 2
+    assert len(inv) == a.topo.n_patches
+
+
+def test_3d_elasticity_runs():
+    """North-star config family E: 3D elasticity (new vs the reference)."""
+    from dealii_slod_tpu.config import SLODConfig
+    cfg = SLODConfig(dim=3, n_components=3, n_global_refinements=2,
+                     n_subdivisions=2, oversampling=1,
+                     lod_stabilization=True, constant_coefficients=False,
+                     coef_seed=1, coef_refinement=3, rhs="1; 0; 0", bc="0",
+                     solve_fine_problem=True)
+    sol = LODSolver(cfg, ElasticityProblem(cfg), verbose=False)
+    res = sol.run()
+    u = np.asarray(res["lod_solution"])
+    assert u.shape == (sol.grid.n_nodes, 3)
+    assert np.isfinite(u).all()
+    err = res["error_LOD_FEMh"].rows[0][2]["L2"]
+    femn = float(np.sqrt((np.asarray(res["fem_solution"]) ** 2).sum()))
+    assert err < femn
