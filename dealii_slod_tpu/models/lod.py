@@ -345,13 +345,37 @@ class LODSolver:
         # static canvas-interior restriction: every patch's window-interior
         # dofs lie in the canvas interior (windows are canvas-aligned boxes),
         # so the SPD solve runs at (Ks-1)^dim instead of (Ks+1)^dim —
-        # a ((Ks+1)/(Ks-1))^(3 dim) Cholesky-FLOP saving
+        # a ((Ks+1)/(Ks-1))^(3 dim) Cholesky-FLOP saving.  The interior is a
+        # rectangular subgrid, so its extraction is a strided SLICE of the
+        # grid-reshaped matrix, not a gather (gathers at (nD)^2 size were the
+        # dominant HBM traffic).
         int_dofs = jnp.asarray(sc.interior_dof_indices())
         int_nodes_np = sc.interior_nodes
         int_coords = jnp.asarray(
             sc.node_coords_local[int_nodes_np].astype(np.int32))
         nI = len(int_nodes_np) * C
         PT_I = jnp.asarray(sc.PT[sc.interior_dof_indices()], dt)  # (nI, cD)
+        grid_rev = _rev(sc.node_dims_local)
+        inner = tuple(slice(1, -1) for _ in range(cfg.dim))
+
+        def interior_cols(M):
+            """(rows, nD) -> (rows, nI) by slicing the spatial grid axes."""
+            r = M.shape[0]
+            Mg = M.reshape((r,) + grid_rev + (C,))
+            return Mg[(slice(None),) + inner].reshape(r, nI)
+
+        def interior_rows_cols(M):
+            Mg = M.reshape(grid_rev + (C,) + grid_rev + (C,))
+            return Mg[inner + (slice(None),) + inner].reshape(nI, nI)
+
+        def scatter_interior(v):
+            """(nI, k) -> (nD, k) zero-extended (ascending-dof order, same
+            as the reference's extend_vector_to_boundary_values)."""
+            k = v.shape[-1]
+            z = jnp.zeros(grid_rev + (C, k), dt)
+            z = z.at[inner].set(v.reshape(
+                tuple(g - 2 for g in grid_rev) + (C, k)))
+            return z.reshape(nD, k)
 
         def one_patch(coef_list, nlo, nhi, sides_dom):
             in_sub = ((sub_coords >= nlo) & (sub_coords <= nhi - 1)
@@ -363,7 +387,7 @@ class LODSolver:
             # window-interior mask restricted to the static canvas interior
             node_int = ((int_coords > nlo) & (int_coords < nhi)).all(axis=1)
             m = jnp.repeat(node_int, C).astype(dt)           # (nI,)
-            A_II = A_raw[int_dofs[:, None], int_dofs[None, :]]
+            A_II = interior_rows_cols(A_raw)
             # zero rows/cols outside the window interior + unit diagonal:
             # the interior block is the SPD submatrix the row-cleared
             # reference operator solves (LOD.cc:537-546)
@@ -376,7 +400,7 @@ class LODSolver:
             Ainv_PT = cholesky_solve(L, PT_m)                # (nI, cD)
             T = (PT_m.T @ Ainv_PT) / Hdim + jnp.diag(1.0 - cvd)
             Tinv = jnp.linalg.inv(T)
-            A_cols_I = A_raw[:, int_dofs]                    # (nD, nI)
+            A_cols_I = interior_cols(A_raw)                  # (nD, nI)
 
             node_in = ((node_coords >= nlo)
                        & (node_coords <= nhi)).all(axis=1)
@@ -430,7 +454,7 @@ class LODSolver:
                 phi_int = Ainv_PT @ jnp.take(Tinv, cen_dofs, axis=1)
             norms = jnp.sqrt((phi_int ** 2).sum(axis=0))
             phi_int = phi_int / norms
-            phi = jnp.zeros((nD, C), dt).at[int_dofs].set(phi_int)
+            phi = scatter_interior(phi_int)
             # premultiplied basis (LOD.cc:758-765): phi is supported on the
             # window interior, so A_semi phi == A[:, interior] @ phi_int with
             # domain-boundary rows zeroed
@@ -933,6 +957,18 @@ class LODSolver:
     # ------------------------------------------------------------------
 
     def run(self) -> Dict:
+        if self.cfg.profile_dir:
+            import contextlib
+            with contextlib.ExitStack() as stack:
+                try:
+                    stack.enter_context(
+                        jax.profiler.trace(self.cfg.profile_dir))
+                except Exception as exc:  # profiling may be unsupported
+                    self.log(f"profiler unavailable: {exc}")
+                return self._run()
+        return self._run()
+
+    def _run(self) -> Dict:
         cfg = self.cfg
         self.log(f"Running LOD {self.problem.name} problem in {cfg.dim}D")
         sizes = self.topo.patch_sizes()

@@ -1,0 +1,139 @@
+"""Batched symmetric eigensolver: parallel cyclic Jacobi.
+
+``lax.linalg.eigh`` on TPU is the single most expensive kernel of the SLOD
+pipeline (the per-patch Gram-matrix spectral pseudo-inverse,
+reference source/LOD.cc:660-671).  This implements the classical two-sided
+Jacobi method with the round-robin (tournament) parallel ordering: each
+round applies n/2 *disjoint* Givens rotations simultaneously, realized as
+batched row/column gathers + rotations + scatters — no sequential scalar
+loops, only ``fori_loop`` over rounds.  Quadratic convergence: ~8-12 sweeps
+reach machine precision for the n ~ O(100) matrices that arise here.
+
+Returns eigenvalues in DESCENDING order and the corresponding eigenvectors,
+matching the (reordered) jnp.linalg.eigh usage in the SLOD kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_robin_schedule(n: int) -> np.ndarray:
+    """Tournament schedule: (n-1) rounds of n/2 disjoint pairs covering all
+    index pairs exactly once (n even; pad with a dummy index if odd)."""
+    assert n % 2 == 0
+    players = list(range(n))
+    rounds = []
+    for _ in range(n - 1):
+        pairs = [(players[i], players[n - 1 - i]) for i in range(n // 2)]
+        rounds.append([(min(a, b), max(a, b)) for a, b in pairs])
+        # rotate all but the first
+        players = [players[0]] + [players[-1]] + players[1:-1]
+    return np.asarray(rounds, dtype=np.int32)      # (n-1, n/2, 2)
+
+
+def _ring_permutation(n: int) -> np.ndarray:
+    """The single permutation that advances the round-robin tournament when
+    pairs are kept contiguous as (2k, 2k+1).
+
+    Realizes the standard 'caterpillar' ordering: with slots laid out as
+    top row [0, 2, 4, ...] / bottom row [1, 3, 5, ...] paired vertically,
+    all players except the one in slot 0 move one position around the ring.
+    Applying it (n-1) times cycles through all pairings."""
+    assert n % 2 == 0
+    m = n // 2
+    perm = np.empty(n, dtype=np.int32)
+    # ring order of slots: top row left->right, bottom row right->left
+    ring = [2 * k for k in range(m)] + [2 * k + 1 for k in range(m - 1, -1, -1)]
+    # slot ring[0] (= slot 0) is fixed; the others shift by one
+    fixed = ring[0]
+    rest = ring[1:]
+    src = {dst: s for dst, s in zip(rest, rest[-1:] + rest[:-1])}
+    perm[fixed] = fixed
+    for dst, s in src.items():
+        perm[dst] = s
+    return perm
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def jacobi_eigh(G: jnp.ndarray, sweeps: int = 10):
+    """Eigendecomposition of symmetric (..., n, n) matrices.
+
+    Ring/caterpillar formulation: pairs are always the contiguous slots
+    (2k, 2k+1), so each round is two batched block-rotations (pure
+    elementwise math on reshaped views — no gathers/scatters) followed by
+    one static ring permutation of rows+columns.  Returns (eigenvalues
+    (..., n) descending, eigenvectors (..., n, n) with ``V[..., :, k]`` the
+    k-th eigenvector), like ``jnp.linalg.eigh`` up to ordering."""
+    batch_shape = G.shape[:-2]
+    n0 = G.shape[-1]
+    G = G.reshape((-1, n0, n0))
+    n = n0 + (n0 % 2)                              # pad to even
+    if n != n0:
+        B = G.shape[0]
+        Gp = jnp.zeros((B, n, n), G.dtype)
+        G = Gp.at[:, :n0, :n0].set(G)
+    B = G.shape[0]
+    m = n // 2
+    perm = jnp.asarray(_ring_permutation(n))
+    R = n - 1
+
+    def round_body(r, carry):
+        A, V = carry
+        d = jnp.diagonal(A, axis1=-2, axis2=-1)    # (B, n)
+        app = d[:, 0::2]                           # (B, m)
+        aqq = d[:, 1::2]
+        A4 = A.reshape(B, m, 2, m, 2)
+        apq = jnp.diagonal(A4[:, :, 0, :, 1], axis1=1, axis2=2)  # (B, m)
+        # Givens rotation annihilating A[2k, 2k+1]
+        tau = (aqq - app) / (2.0 * jnp.where(apq == 0, 1.0, apq))
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(apq == 0, 0.0, t)
+        c = 1.0 / jnp.sqrt(1.0 + t * t)
+        s = t * c
+        # rows
+        A2 = A.reshape(B, m, 2, n)
+        Ap, Aq = A2[:, :, 0, :], A2[:, :, 1, :]
+        A = jnp.stack([c[:, :, None] * Ap - s[:, :, None] * Aq,
+                       s[:, :, None] * Ap + c[:, :, None] * Aq],
+                      axis=2).reshape(B, n, n)
+        # columns
+        A3 = A.reshape(B, n, m, 2)
+        Ap, Aq = A3[..., 0], A3[..., 1]
+        A = jnp.stack([c[:, None, :] * Ap - s[:, None, :] * Aq,
+                       s[:, None, :] * Ap + c[:, None, :] * Aq],
+                      axis=3).reshape(B, n, n)
+        # eigenvector columns
+        V3 = V.reshape(B, n, m, 2)
+        Vp, Vq = V3[..., 0], V3[..., 1]
+        V = jnp.stack([c[:, None, :] * Vp - s[:, None, :] * Vq,
+                       s[:, None, :] * Vp + c[:, None, :] * Vq],
+                      axis=3).reshape(B, n, n)
+        # advance the tournament (static permutation)
+        A = A[:, perm][:, :, perm]
+        V = V[:, :, perm]
+        return (A, V)
+
+    V0 = jnp.broadcast_to(jnp.eye(n, dtype=G.dtype), (B, n, n)) + 0.0
+    A, V = jax.lax.fori_loop(0, R * sweeps, round_body, (G, V0))
+    lam = jnp.diagonal(A, axis1=-2, axis2=-1)
+    if n != n0:
+        # the padded row/col is decoupled (zero): its rotations are
+        # identity; drop the padded eigenpair (eigenvalue exactly 0 with a
+        # unit vector supported on the pad slot)
+        keep_rows = jnp.asarray(np.arange(n0))
+        pad_col = jnp.argmin(
+            jnp.sum(V[:, :n0, :] ** 2, axis=1), axis=-1)      # (B,)
+        mask = jnp.arange(n)[None, :] != pad_col[:, None]     # (B, n)
+        order0 = jnp.argsort(~mask, axis=-1)                  # real cols first
+        lam = jnp.take_along_axis(lam, order0, axis=-1)[:, :n0]
+        V = jnp.take_along_axis(V, order0[:, None, :], axis=-1)[:, :n0, :n0]
+    order = jnp.argsort(-lam, axis=-1)
+    lam = jnp.take_along_axis(lam, order, axis=-1)
+    V = jnp.take_along_axis(V, order[:, None, :], axis=-1)
+    return (lam.reshape(batch_shape + (n0,)),
+            V.reshape(batch_shape + (n0, n0)))

@@ -1,0 +1,38 @@
+"""Batched ring-Jacobi eigensolver tests (ops/eig.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dealii_slod_tpu.ops.eig import jacobi_eigh, _ring_permutation
+
+
+def test_ring_permutation_covers_all_pairs():
+    for n in (6, 8, 126):
+        perm = _ring_permutation(n)
+        layout = np.arange(n)
+        seen = set()
+        for _ in range(n - 1):
+            for k in range(n // 2):
+                a, b = layout[2 * k], layout[2 * k + 1]
+                seen.add((min(a, b), max(a, b)))
+            layout = layout[perm]
+        assert len(seen) == n * (n - 1) // 2
+
+
+@pytest.mark.parametrize("n", [8, 125, 126])
+def test_jacobi_eigh_matches_lapack(n):
+    rng = np.random.default_rng(1)
+    B = 8
+    M = rng.standard_normal((B, n, n // 2 + 2))
+    G = jnp.asarray(np.einsum("bik,bjk->bij", M, M))  # PSD, rank-deficient
+    lam, V = jacobi_eigh(G, sweeps=12)
+    lam_ref = np.linalg.eigvalsh(np.asarray(G))[:, ::-1]
+    np.testing.assert_allclose(np.asarray(lam), lam_ref,
+                               rtol=1e-11, atol=1e-10 * lam_ref.max())
+    # eigen residual + orthogonality
+    res = np.einsum("bij,bjk->bik", np.asarray(G), np.asarray(V)) \
+        - np.asarray(V) * np.asarray(lam)[:, None, :]
+    assert np.abs(res).max() < 1e-8 * lam_ref.max()
+    orth = np.einsum("bki,bkj->bij", np.asarray(V), np.asarray(V)) - np.eye(n)
+    assert np.abs(orth).max() < 1e-12
