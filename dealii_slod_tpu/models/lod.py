@@ -581,11 +581,22 @@ class LODSolver:
     def _stencil_build(self, Phi, APhi):
         """Pure function: canvases -> stencil blocks (P, S, C, C).
 
-        A_st[q, k] = sum_n phi_q[n] . Aphi_{q+delta_k}[n - delta_k*s].
-        Realized as a single ``lax.map`` body over the stencil offsets: the
-        neighbor canvas is zero-padded by R*s per side, so every offset
-        reads a full-canvas dynamic slice (one compiled body, no per-offset
-        shape variation; the padding zeros implement the overlap masking)."""
+        Dispatches to the cell-decomposed build (fast path) unless its
+        (E, K, K, C, C) intermediate would be too large, in which case the
+        offset-loop roll build is used."""
+        K = (2 * self.cfg.oversampling + 1) ** self.cfg.dim
+        K2 = (2 * self.cfg.oversampling + 2) ** self.cfg.dim
+        t_bytes = (self.topo.n_patches * K * K2 * self.C * self.C
+                   * (8 if self.dtype == jnp.float64 else 4))
+        if t_bytes <= (1 << 30):
+            return self._stencil_build_cells(Phi, APhi)
+        return self._stencil_build_roll(Phi, APhi)
+
+    def _stencil_build_roll(self, Phi, APhi):
+        """Offset-loop stencil build:
+        A_st[q, k] = sum_n phi_q[n] . Aphi_{q+delta_k}[n - delta_k*s],
+        one ``lax.map`` body over the stencil offsets with the shift realized
+        as roll + boundary mask."""
         cfg, C = self.cfg, self.C
         s = cfg.n_subdivisions
         Gd = self.canvas_dims
@@ -618,6 +629,101 @@ class LODSolver:
 
         A_st = jax.lax.map(body, jnp.arange(self.n_stencil))
         return jnp.moveaxis(A_st, 0, 1)                  # (P, S, C, C)
+
+    def _cell_tables(self):
+        """Static tables for the cell-decomposed stencil build.
+
+        Every global fine node is *owned* by exactly one coarse cell
+        (own(g) = clip(g // s, 0, N-1) per axis), so
+        ``A_LOD[q,p] = sum_e sum_{g owned by e} phi_q(g) Aphi_p(g)`` —
+        a per-cell contraction over window-slot pairs instead of a loop
+        over stencil offsets."""
+        if hasattr(self, "_cell_tab"):
+            return self._cell_tab
+        cfg, g = self.cfg, self.grid
+        ell, s, N, dim = cfg.oversampling, cfg.n_subdivisions, cfg.n_coarse, cfg.dim
+        K = (2 * ell + 1) ** dim
+        ks = cartesian_coords(np.full(dim, 2 * ell + 1))        # (K, dim)
+        # phi vanishes on (and outside) its window edge, so every node with
+        # phi_q != 0 is owned by a cell of q's window: K slots suffice for
+        # the phi table.  Aphi is nonzero on the window edge, whose TOP-face
+        # nodes are owned by the cell one slot beyond the canvas — the Aphi
+        # table therefore uses the extended (2l+2)-slot grid, with the
+        # out-of-canvas node layers masked.
+        K2 = (2 * ell + 2) ** dim
+        ks2 = cartesian_coords(np.full(dim, 2 * ell + 2))       # (K2, dim)
+        oo = cartesian_coords(np.full(dim, s + 1))              # (O, dim)
+        O = len(oo)
+        cells = cartesian_coords(g.cell_dims)                   # (E, dim)
+
+        def patch_table(slots):
+            pco = cells[:, None, :] + ell - slots[None, :, :]
+            pvalid = ((pco >= 0) & (pco < N)).all(-1)
+            p_idx = ravel(np.clip(pco, 0, N - 1), g.cell_dims)
+            node_co = slots[:, None, :] * s + oo[None, :, :]    # (Kx, O, dim)
+            in_canvas = (node_co <= (2 * ell + 1) * s).all(-1)  # (Kx, O)
+            cnode = ravel(np.minimum(node_co, (2 * ell + 1) * s),
+                          self.canvas_dims)
+            return (jnp.asarray(p_idx.astype(np.int32)), jnp.asarray(pvalid),
+                    jnp.asarray(cnode.astype(np.int32)),
+                    jnp.asarray(in_canvas))
+
+        p_idx1, pvalid1, cnode1, incv1 = patch_table(ks)
+        p_idx2, pvalid2, cnode2, incv2 = patch_table(ks2)
+        # cell seen by patch q at slot k1: e = q + ks[k1] - l
+        eco = cells[:, None, :] + ks[None, :, :] - ell
+        evalid = ((eco >= 0) & (eco < N)).all(-1)
+        e_idx = ravel(np.clip(eco, 0, N - 1), g.cell_dims)
+        # ownership: offset o belongs to cell e iff o < s per axis, except at
+        # the domain top face where the cell also owns its o == s layer
+        top = cells == N - 1                                     # (E, dim)
+        own = np.logical_or(oo[None, :, :] < s, top[:, None, :]).all(-1)
+        own = own[:, None, :]                                    # (E, 1, O)
+        # slot (in the extended grid) of the neighbor p = q + delta covering
+        # the same cell: e = q + ks[k1] - l = p + ks2[k2] - l => k2 = k1 - d
+        k2map = np.full((K, self.n_stencil), -1, dtype=np.int64)
+        for k1 in range(K):
+            tgt = ks[k1][None, :] - self.stencil_offsets         # (S, dim)
+            ok = ((tgt >= 0) & (tgt <= 2 * ell + 1)).all(-1)
+            k2map[k1, ok] = ravel(tgt[ok], np.full(dim, 2 * ell + 2))
+        self._cell_tab = dict(
+            p_idx1=p_idx1, pvalid1=pvalid1, cnode1=cnode1, incv1=incv1,
+            p_idx2=p_idx2, pvalid2=pvalid2, cnode2=cnode2, incv2=incv2,
+            e_idx=jnp.asarray(e_idx.astype(np.int32)),
+            evalid=jnp.asarray(evalid),
+            own=jnp.asarray(own), k2map=k2map, K=K, K2=K2, O=O)
+        return self._cell_tab
+
+    def _stencil_build_cells(self, Phi, APhi):
+        """Cell-decomposed stencil build (one batched contraction + K small
+        gathers; replaces the S-round loop of `_stencil_build_roll`)."""
+        C = self.C
+        P = self.topo.n_patches
+        tab = self._cell_tables()
+        K, K2, O = tab["K"], tab["K2"], tab["O"]
+
+        def cell_table(X, which):
+            # (E, Kx, O, C, C) values of the covering patches at owned nodes
+            p_idx = tab[f"p_idx{which}"]
+            t = X[p_idx[:, :, None], tab[f"cnode{which}"][None, :, :]]
+            mask = (tab[f"pvalid{which}"][:, :, None]
+                    & tab[f"incv{which}"][None, :, :]
+                    & tab["own"])
+            return t * mask[:, :, :, None, None]
+
+        Pc = cell_table(Phi.reshape(P, self.canvas_n, C, C), 1)
+        Ac = cell_table(APhi.reshape(P, self.canvas_n, C, C), 2)
+        T = jnp.einsum("ekocd,emocf->ekmdf", Pc, Ac)     # (E, K, K2, C, C)
+        # pad slot axis for the -1 entries of k2map
+        Tpad = jnp.concatenate(
+            [T, jnp.zeros(T.shape[:2] + (1,) + T.shape[3:], T.dtype)], axis=2)
+        A_st = jnp.zeros((P, self.n_stencil, C, C), self.dtype)
+        for k1 in range(K):
+            Xk = Tpad[tab["e_idx"][:, k1], k1]           # (P, K2+1, C, C)
+            Xk = Xk * tab["evalid"][:, k1, None, None, None]
+            k2 = tab["k2map"][k1]                        # (S,) with -1 -> pad
+            A_st = A_st + Xk[:, jnp.asarray(np.where(k2 < 0, K2, k2))]
+        return A_st
 
     def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:
         u_nb = u[self.stencil_nbr]                            # (P, S, C)
