@@ -219,6 +219,11 @@ class SLODConfig:
     n_devices: int = 0                # 0 = single device / no sharding
     svd_threshold: float = 1.0e-15    # relative truncation in the stabilization
                                       # pseudo-inverse (LOD.cc:667)
+    eig_solver: str = "auto"          # spectral decomposition for the SLOD
+                                      # Gram matrix: "lax" (XLA eigh),
+                                      # "jacobi" (VMEM-resident Pallas
+                                      # one-sided Jacobi, ~1.5-2x faster),
+                                      # "auto" = jacobi on TPU float32
     profile_dir: str = ""             # non-empty: wrap the pipeline in a
                                       # jax.profiler trace written there
                                       # (TPU replacement for the reference's

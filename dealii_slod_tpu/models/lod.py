@@ -327,6 +327,11 @@ class LODSolver:
         # a full-domain patch has no 99-boundary dofs, so BD == 0 and the
         # SLOD formula degenerates exactly to the LOD candidate.
         slod = cfg.lod_stabilization and cfg.oversampling > 0
+        from dealii_slod_tpu.ops.eig import jacobi_eigh_pallas
+        use_jacobi = (cfg.eig_solver == "jacobi"
+                      or (cfg.eig_solver == "auto"
+                          and dt == jnp.float32
+                          and jax.default_backend() == "tpu"))
 
         flat_idx = jnp.asarray(sc.assembly_flat_idx)
         PT = jnp.asarray(sc.PT, dt)
@@ -427,13 +432,16 @@ class LODSolver:
                     newBD = BD * colmask[None, :]
                     G = newBD.T @ newBD
                     g0 = newBD.T @ b0
-                    # spectral pseudo-inverse via eigh — G is the PSD Gram
-                    # matrix, so eigenpairs == singular triplets (descending
-                    # reorder); same semantics as compute_inverse_svd
-                    # (LOD.cc:667) but ~1.3x faster than SVD on TPU
-                    lam, V = jnp.linalg.eigh(G)
-                    lam = lam[::-1]
-                    V = V[:, ::-1]
+                    # spectral pseudo-inverse — G is the PSD Gram matrix, so
+                    # eigenpairs == singular triplets (descending reorder);
+                    # same semantics as compute_inverse_svd (LOD.cc:667)
+                    if use_jacobi:
+                        # VMEM-resident Pallas one-sided Jacobi (ops/eig.py)
+                        lam, V = jacobi_eigh_pallas(G, sweeps=12)
+                    else:
+                        lam, V = jnp.linalg.eigh(G)
+                        lam = lam[::-1]
+                        V = V[:, ::-1]
                     inv_sig = jnp.where(lam > thr * lam[0], 1.0 / lam, 0.0)
                     uv = V.T @ g0
                     terms = (inv_sig * uv)[:, None] * V.T
@@ -664,9 +672,11 @@ class LODSolver:
             in_canvas = (node_co <= (2 * ell + 1) * s).all(-1)  # (Kx, O)
             cnode = ravel(np.minimum(node_co, (2 * ell + 1) * s),
                           self.canvas_dims)
-            return (jnp.asarray(p_idx.astype(np.int32)), jnp.asarray(pvalid),
-                    jnp.asarray(cnode.astype(np.int32)),
-                    jnp.asarray(in_canvas))
+            # NOTE: keep NumPy (no jnp.asarray): this cache may be built
+            # while tracing, and device constants created inside a trace
+            # are tracers that must not leak into later traces
+            return (p_idx.astype(np.int32), pvalid,
+                    cnode.astype(np.int32), in_canvas)
 
         p_idx1, pvalid1, cnode1, incv1 = patch_table(ks)
         p_idx2, pvalid2, cnode2, incv2 = patch_table(ks2)
@@ -689,9 +699,8 @@ class LODSolver:
         self._cell_tab = dict(
             p_idx1=p_idx1, pvalid1=pvalid1, cnode1=cnode1, incv1=incv1,
             p_idx2=p_idx2, pvalid2=pvalid2, cnode2=cnode2, incv2=incv2,
-            e_idx=jnp.asarray(e_idx.astype(np.int32)),
-            evalid=jnp.asarray(evalid),
-            own=jnp.asarray(own), k2map=k2map, K=K, K2=K2, O=O)
+            e_idx=e_idx.astype(np.int32), evalid=evalid,
+            own=own, k2map=k2map, K=K, K2=K2, O=O)
         return self._cell_tab
 
     def _stencil_build_cells(self, Phi, APhi):

@@ -59,6 +59,155 @@ def _ring_permutation(n: int) -> np.ndarray:
     return perm
 
 
+def _caterpillar_round(XT, XB, JT, JB, eps):
+    """One parallel Jacobi round in the (top, bottom) pair layout.
+
+    Rows 2k / 2k+1 of the working matrix live in XT[:, k] / XB[:, k]; the
+    tournament advance is the textbook caterpillar shift — static slices +
+    concat only (no gathers), which is what makes this layout viable inside
+    a Pallas kernel where the matrices stay VMEM-resident."""
+    a = jnp.sum(XT * XT, axis=-1, keepdims=True)
+    b = jnp.sum(XB * XB, axis=-1, keepdims=True)
+    c = jnp.sum(XT * XB, axis=-1, keepdims=True)
+    safe_c = jnp.where(jnp.abs(c) > eps, c, 1.0)
+    zeta = (b - a) / (2.0 * safe_c)
+    t = jnp.sign(zeta) / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+    t = jnp.where(jnp.abs(c) > eps, t, 0.0)
+    cs = jax.lax.rsqrt(1.0 + t * t)
+    sn = cs * t
+
+    def rot(T, B):
+        return cs * T - sn * B, sn * T + cs * B
+
+    nT, nB = rot(XT, XB)
+    jT, jB = rot(JT, JB)
+
+    def advance(T, B):
+        # t' = [t0, b0, t1..t_{m-2}],  b' = [b1..b_{m-1}, t_{m-1}]
+        Tn = jnp.concatenate([T[:, :1], B[:, :1], T[:, 1:-1]], axis=1)
+        Bn = jnp.concatenate([B[:, 1:], T[:, -1:]], axis=1)
+        return Tn, Bn
+
+    XT, XB = advance(nT, nB)
+    JT, JB = advance(jT, jB)
+    return XT, XB, JT, JB
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def jacobi_eigh_onesided(G: jnp.ndarray, sweeps: int = 10):
+    """Eigendecomposition of symmetric PSD (..., n, n) matrices by
+    one-sided (Hestenes) Jacobi in the caterpillar layout.
+
+    At convergence the rows of the working matrix X (= columns of G rotated
+    by the accumulated J) are orthogonal; eigenvalues are their norms and
+    eigenvectors the rows of J^T.  Returns eigenvalues descending and
+    eigenvectors as columns, like jnp.linalg.eigh up to ordering."""
+    batch_shape = G.shape[:-2]
+    n0 = G.shape[-1]
+    G = G.reshape((-1, n0, n0))
+    n = n0 + (n0 % 2)
+    B = G.shape[0]
+    if n != n0:
+        Gp = jnp.zeros((B, n, n), G.dtype)
+        G = Gp.at[:, :n0, :n0].set(G)
+    m = n // 2
+    eps = jnp.asarray(
+        np.finfo("float64" if G.dtype == jnp.float64 else "float32").tiny
+        * 1e3, G.dtype)
+    XT, XB = G[:, 0::2, :], G[:, 1::2, :]
+    eyeT = jnp.zeros((n, n), G.dtype).at[
+        jnp.arange(n), jnp.arange(n)].set(1.0)
+    JT = jnp.broadcast_to(eyeT[0::2], (B, m, n)) + 0.0
+    JB = jnp.broadcast_to(eyeT[1::2], (B, m, n)) + 0.0
+
+    def body(r, carry):
+        return _caterpillar_round(*carry, eps)
+
+    XT, XB, JT, JB = jax.lax.fori_loop(
+        0, (n - 1) * sweeps, body, (XT, XB, JT, JB))
+    return _finalize_onesided(XT, XB, JT, JB, n0, batch_shape)
+
+
+def _finalize_onesided(XT, XB, JT, JB, n0, batch_shape):
+    """Row norms -> eigenvalues; J rows -> eigenvectors; sort descending and
+    drop the zero padded eigenpair if n was odd."""
+    X = jnp.concatenate([XT, XB], axis=1)      # (B, n, n) rows in final order
+    J = jnp.concatenate([JT, JB], axis=1)
+    lam = jnp.sqrt(jnp.sum(X * X, axis=-1))    # (B, n) (PSD: sigma == lambda)
+    n = X.shape[1]
+    if n != n0:
+        # padded coordinate: its J row is +-e_pad; identify by |J[:, :, n0:]|
+        is_pad = jnp.abs(J[:, :, n0]) > 0.5
+        lam = jnp.where(is_pad, -jnp.inf, lam)
+    order = jnp.argsort(-lam, axis=-1)[:, :n0]
+    lam = jnp.take_along_axis(lam, order, axis=-1)
+    J = jnp.take_along_axis(J, order[:, :, None], axis=1)[:, :, :n0]
+    V = jnp.swapaxes(J, -1, -2)                # eigenvectors as columns
+    return (lam.reshape(batch_shape + (n0,)),
+            V.reshape(batch_shape + (n0, n0)))
+
+
+def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16):
+    """One-sided Jacobi eigensolver as a Pallas TPU kernel.
+
+    The (top, bottom, J-top, J-bottom) working arrays stay **VMEM-resident
+    across all (n-1)*sweeps rounds** — HBM traffic is exactly one load of G
+    and one store of the results, vs O(rounds) full-matrix round trips for
+    the XLA while-loop formulation.  Rounds are pure VPU work (row dots,
+    rotations) plus static slice/concat shuffles (the caterpillar), so no
+    gathers/scatters reach Mosaic."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch_shape = G.shape[:-2]
+    n0 = G.shape[-1]
+    G = G.reshape((-1, n0, n0)) if G.ndim != 2 else G[None]
+    n = n0 + (n0 % 2)
+    B0 = G.shape[0]
+    block = min(block, B0)   # also makes the wrapper vmap-friendly (B0=1)
+    B = -(-B0 // block) * block
+    if n != n0 or B != B0:
+        Gp = jnp.zeros((B, n, n), G.dtype)
+        G = Gp.at[:B0, :n0, :n0].set(G)
+    m = n // 2
+    eps = float(
+        np.finfo("float64" if G.dtype == jnp.float64 else "float32").tiny
+        * 1e3)
+    XT0, XB0 = G[:, 0::2, :], G[:, 1::2, :]
+    rounds = (n - 1) * sweeps
+
+    def kernel(xt_ref, xb_ref, xto_ref, xbo_ref, jto_ref, jbo_ref):
+        XT = xt_ref[:]
+        XB = xb_ref[:]
+        row = jax.lax.broadcasted_iota(jnp.int32, (block, m, n), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block, m, n), 2)
+        JT = (col == 2 * row).astype(XT.dtype)
+        JB = (col == 2 * row + 1).astype(XT.dtype)
+
+        def body(r, carry):
+            return _caterpillar_round(*carry, eps)
+
+        XT, XB, JT, JB = jax.lax.fori_loop(
+            0, rounds, body, (XT, XB, JT, JB))
+        xto_ref[:] = XT
+        xbo_ref[:] = XB
+        jto_ref[:] = JT
+        jbo_ref[:] = JB
+
+    spec = pl.BlockSpec((block, m, n), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        in_specs=[spec, spec],
+        out_specs=(spec,) * 4,
+        out_shape=tuple(jax.ShapeDtypeStruct((B, m, n), G.dtype)
+                        for _ in range(4)),
+    )(XT0, XB0)
+    XT, XB, JT, JB = (o[:B0] for o in out)
+    return _finalize_onesided(XT, XB, JT, JB, n0, batch_shape)
+
+
 @partial(jax.jit, static_argnames=("sweeps",))
 def jacobi_eigh(G: jnp.ndarray, sweeps: int = 10):
     """Eigendecomposition of symmetric (..., n, n) matrices.
