@@ -194,8 +194,9 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16):
         jto_ref[:] = JT
         jbo_ref[:] = JB
 
+    on_tpu = jax.default_backend() == "tpu"
     spec = pl.BlockSpec((block, m, n), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
+                        memory_space=pltpu.VMEM if on_tpu else None)
     out = pl.pallas_call(
         kernel,
         grid=(B // block,),
@@ -203,6 +204,7 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16):
         out_specs=(spec,) * 4,
         out_shape=tuple(jax.ShapeDtypeStruct((B, m, n), G.dtype)
                         for _ in range(4)),
+        interpret=not on_tpu,
     )(XT0, XB0)
     XT, XB, JT, JB = (o[:B0] for o in out)
     return _finalize_onesided(XT, XB, JT, JB, n0, batch_shape)

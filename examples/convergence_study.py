@@ -1,0 +1,82 @@
+"""Convergence study: LOD / SLOD / FEM errors over mesh refinement.
+
+Reproduces the reference's intended workflow (the five ParsedConvergenceTables
+accumulated over runs, include/LOD.h:111-115) as a single script: runs the
+pipeline over a sequence of refinements and prints multi-row convergence
+tables with observed rates.
+
+    JAX_PLATFORMS=cpu python examples/convergence_study.py --dim 2 --slod
+"""
+
+import argparse
+import math
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--dim", type=int, default=2)
+    p.add_argument("--refinements", type=int, nargs="+", default=[2, 3, 4])
+    p.add_argument("--subdivisions", type=int, default=2)
+    p.add_argument("--oversampling", type=int, default=2)
+    p.add_argument("--slod", action="store_true")
+    p.add_argument("--elasticity", action="store_true")
+    p.add_argument("--random-coefficients", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    if jax.default_backend() == "cpu":
+        jax.config.update("jax_enable_x64", True)
+
+    from dealii_slod_tpu.config import ReductionControl, SLODConfig
+    from dealii_slod_tpu.models import (DiffusionProblem, ElasticityProblem,
+                                        LODSolver)
+    from dealii_slod_tpu.utils.errors import ConvergenceTable
+
+    if args.dim == 2:
+        exact = "sin(pi*x)*sin(pi*y)"
+        rhs = "2*pi^2*sin(pi*x)*sin(pi*y)"
+    else:
+        exact = "sin(pi*x)*sin(pi*y)*sin(pi*z)"
+        rhs = "3*pi^2*sin(pi*x)*sin(pi*y)*sin(pi*z)"
+    if args.elasticity:
+        rhs = "; ".join([rhs] * args.dim)
+        exact = "0"
+
+    tables = {}
+    for r in args.refinements:
+        cfg = SLODConfig(
+            dim=args.dim, n_global_refinements=r,
+            n_subdivisions=args.subdivisions,
+            oversampling=args.oversampling,
+            lod_stabilization=args.slod,
+            constant_coefficients=not args.random_coefficients,
+            rhs=rhs, exact_solution=exact, bc="0",
+            dtype="float64" if jax.default_backend() == "cpu" else "float32",
+            coarse_solver=ReductionControl(2000, 1e-13, 1e-12),
+            fine_solver=ReductionControl(4000, 1e-11, 1e-11),
+        )
+        prob = (ElasticityProblem(cfg) if args.elasticity
+                else DiffusionProblem(cfg))
+        res = LODSolver(cfg, prob, verbose=False).run()
+        for key, t in res.items():
+            if not key.startswith("error_"):
+                continue
+            tables.setdefault(key, ConvergenceTable(t.label))
+            tables[key].rows.extend(t.rows)
+
+    for key, t in tables.items():
+        print(f"\n== {key} ==")
+        print(t)
+        if len(t.rows) > 1:
+            rates = []
+            for (c0, _, n0), (c1, _, n1) in zip(t.rows, t.rows[1:]):
+                h_ratio = (c1 / c0) ** (1.0 / args.dim)
+                rates.append(math.log(n0["L2"] / n1["L2"])
+                             / math.log(h_ratio))
+            print("observed L2 rates:", [f"{r:.2f}" for r in rates])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

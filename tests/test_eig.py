@@ -36,3 +36,31 @@ def test_jacobi_eigh_matches_lapack(n):
     assert np.abs(res).max() < 1e-8 * lam_ref.max()
     orth = np.einsum("bki,bkj->bij", np.asarray(V), np.asarray(V)) - np.eye(n)
     assert np.abs(orth).max() < 1e-12
+
+
+@pytest.mark.parametrize("n", [8, 125])
+def test_onesided_jacobi_matches_lapack(n):
+    rng = np.random.default_rng(2)
+    B = 6
+    M = rng.standard_normal((B, n, n // 2 + 2))
+    G = jnp.asarray(np.einsum("bik,bjk->bij", M, M))
+    from dealii_slod_tpu.ops.eig import jacobi_eigh_onesided
+    lam, V = jacobi_eigh_onesided(G, sweeps=16)
+    lam_ref = np.linalg.eigvalsh(np.asarray(G))[:, ::-1]
+    np.testing.assert_allclose(np.asarray(lam), lam_ref,
+                               rtol=1e-10, atol=1e-10 * lam_ref.max())
+    res = np.einsum("bij,bjk->bik", np.asarray(G), np.asarray(V)) \
+        - np.asarray(V) * np.asarray(lam)[:, None, :]
+    assert np.abs(res).max() < 1e-8 * lam_ref.max()
+
+
+def test_pallas_jacobi_interpret_mode():
+    """On CPU the Pallas kernel runs in interpret mode; same results."""
+    from dealii_slod_tpu.ops.eig import jacobi_eigh_pallas
+    rng = np.random.default_rng(3)
+    n, B = 10, 4
+    M = rng.standard_normal((B, n, n))
+    G = jnp.asarray(np.einsum("bik,bjk->bij", M, M))
+    lam, V = jacobi_eigh_pallas(G, sweeps=14)
+    lam_ref = np.linalg.eigvalsh(np.asarray(G))[:, ::-1]
+    np.testing.assert_allclose(np.asarray(lam), lam_ref, rtol=1e-10)
