@@ -39,6 +39,7 @@ def main():
     sub = int(os.environ.get("BENCH_SUB", 2))
     ell = int(os.environ.get("BENCH_ELL", 2))
     chunk = int(os.environ.get("BENCH_CHUNK", 256))
+    problem = os.environ.get("BENCH_PROBLEM", "diffusion")
 
     cfg = SLODConfig(
         dim=dim, n_global_refinements=refine, n_subdivisions=sub,
@@ -48,7 +49,12 @@ def main():
         solve_fine_problem=False,
         coarse_solver=ReductionControl(500, 1e-6, 1e-6),
     )
-    prob = DiffusionProblem(cfg)
+    if problem == "elasticity":
+        from dealii_slod_tpu.models import ElasticityProblem
+        cfg.rhs = "; ".join(["1"] * dim)
+        prob = ElasticityProblem(cfg)
+    else:
+        prob = DiffusionProblem(cfg)
     solver = LODSolver(cfg, prob, verbose=False)
     P = solver.topo.n_patches
 
@@ -78,7 +84,7 @@ def main():
     rate = P / best
 
     print(json.dumps({
-        "metric": f"{dim}d_slod_patches_per_sec",
+        "metric": f"{dim}d_slod_{problem}_patches_per_sec" if problem != "diffusion" else f"{dim}d_slod_patches_per_sec",
         "value": round(rate, 2),
         "unit": "patches/s",
         "vs_baseline": round(rate / 4096.0, 4),
