@@ -189,3 +189,17 @@ def test_3d_elasticity_runs():
     err = res["error_LOD_FEMh"].rows[0][2]["L2"]
     femn = float(np.sqrt((np.asarray(res["fem_solution"]) ** 2).sum()))
     assert err < femn
+
+
+def test_elasticity_parity_shares_rand_stream():
+    """In reference-parity mode Lambda and Mu draw sequentially from one
+    glibc rand() stream (reference constructs Lambda then Mu,
+    Elasticity.h:104-105)."""
+    from dealii_slod_tpu.config import SLODConfig
+    from dealii_slod_tpu.models.coefficients import GlibcRand
+    cfg = SLODConfig(dim=2, reference_parity=True, coef_refinement=6)
+    prob = ElasticityProblem(cfg)
+    n = (2 ** 6) ** 2
+    ref = GlibcRand().uniform_reference(1, 100, 2 * n)
+    np.testing.assert_array_equal(prob.lam.values, ref[:n])
+    np.testing.assert_array_equal(prob.mu.values, ref[n:])
