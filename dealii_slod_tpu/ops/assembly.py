@@ -37,10 +37,10 @@ def make_subcell_matrices(et: ElementTensors, coefs: Dict[str, jnp.ndarray]
     Returns (..., n_sub, mD, mD) with local dof = node * n_components + comp.
     """
     if "alpha" in coefs:
-        K = jnp.asarray(et.K_grad)
+        K = jnp.asarray(et.K_grad, dtype=coefs["alpha"].dtype)
         return jnp.einsum("...sq,qij->...sij", coefs["alpha"], K)
-    K_mu = jnp.asarray(et.K_mu)
-    K_lam = jnp.asarray(et.K_lam)
+    K_mu = jnp.asarray(et.K_mu, dtype=coefs["mu"].dtype)
+    K_lam = jnp.asarray(et.K_lam, dtype=coefs["lam"].dtype)
     return (jnp.einsum("...sq,qIJ->...sIJ", coefs["mu"], K_mu)
             + jnp.einsum("...sq,qIJ->...sIJ", coefs["lam"], K_lam))
 
@@ -95,12 +95,13 @@ class FineOperator:
         # dirichlet_mask: (n_nodes,) bool, True on constrained (boundary) nodes
         self.dirichlet_mask = dirichlet_mask
 
+        cdtype = next(iter(self.coefs.values())).dtype
         if "alpha" in self.coefs:
-            self._K = jnp.asarray(et.K_grad)           # (nq, m, m)
+            self._K = jnp.asarray(et.K_grad, dtype=cdtype)   # (nq, m, m)
             self._mode = "scalar"
         else:
-            self._Kmu = jnp.asarray(et.K_mu)           # (nq, mD, mD)
-            self._Klam = jnp.asarray(et.K_lam)
+            self._Kmu = jnp.asarray(et.K_mu, dtype=cdtype)   # (nq, mD, mD)
+            self._Klam = jnp.asarray(et.K_lam, dtype=cdtype)
             self._mode = "elastic"
 
     def _apply_raw(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -158,7 +159,7 @@ def assemble_load_vector(et: ElementTensors, conn: jnp.ndarray,
     ``f_q``: (n_fine_cells, nq, C) right-hand-side values at quadrature
     points.  Matches the reference's cell_rhs accumulation
     (Diffusion.h:188-191 / Elasticity.h:273-282)."""
-    R = jnp.asarray(et.R)                              # (nq, m)
+    R = jnp.asarray(et.R, dtype=f_q.dtype)             # (nq, m)
     rhs_e = jnp.einsum("qi,sqc->sic", R, f_q)          # (n_sub, m, C)
     rhs = jnp.zeros((n_nodes, f_q.shape[-1]), dtype=rhs_e.dtype)
     return rhs.at[jnp.asarray(conn)].add(rhs_e)
