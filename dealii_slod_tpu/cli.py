@@ -31,8 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compute dtype (default: float64 on CPU, float32 on TPU)")
     p.add_argument("--chunk", type=int, default=None,
                    help="patches per vmapped chunk")
-    p.add_argument("--write-output", action="store_true",
-                   help="write VTU fields + used parameters")
+    p.add_argument("--no-output", action="store_true",
+                   help="skip VTU fields + used-parameters dump (the "
+                        "reference apps always write output; this is an "
+                        "opt-out for benchmarking)")
     p.add_argument("--reference-parity", action="store_true",
                    help="bit-mirror the reference coefficient sampling "
                         "(glibc rand) and cache semantics")
@@ -53,7 +55,8 @@ def main(argv=None) -> int:
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
-    overrides = dict(dim=args.dim, dtype=dtype, write_output=True)
+    overrides = dict(dim=args.dim, dtype=dtype,
+                     write_output=not args.no_output)
     if args.chunk is not None:
         overrides["patch_chunk"] = args.chunk
     if args.reference_parity:
@@ -70,8 +73,6 @@ def main(argv=None) -> int:
               "defaults.")
     else:
         cfg = SLODConfig.from_prm(args.prm, **overrides)
-    if not args.write_output:
-        cfg.write_output = True  # the reference apps always write output
 
     from dealii_slod_tpu.models import (DiffusionProblem, ElasticityProblem,
                                         LODSolver)

@@ -127,18 +127,6 @@ class ParsedFunction:
                                          points.shape[:-1]))
         return np.stack(comps, axis=-1)
 
-    def is_zero(self) -> bool:
-        if self._exprs is None:
-            return False
-        probe = np.zeros((1, self.dim))
-        try:
-            return bool(np.all(self(probe) == 0.0)) and all(
-                e.co_names == () and "0" == "0" for e in self._exprs
-            )
-        except Exception:
-            return False
-
-
 @dataclasses.dataclass
 class ReductionControl:
     """Iterative-solver stopping rule, mirroring deal.II ``ReductionControl``

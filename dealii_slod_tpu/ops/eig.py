@@ -71,7 +71,10 @@ def _caterpillar_round(XT, XB, JT, JB, eps):
     c = jnp.sum(XT * XB, axis=-1, keepdims=True)
     safe_c = jnp.where(jnp.abs(c) > eps, c, 1.0)
     zeta = (b - a) / (2.0 * safe_c)
-    t = jnp.sign(zeta) / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+    # zero-safe sign: jnp.sign(0) == 0 would skip the rotation for pairs
+    # with exactly equal row norms but nonzero coupling
+    sgn = jnp.where(zeta >= 0, 1.0, -1.0).astype(zeta.dtype)
+    t = sgn / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
     t = jnp.where(jnp.abs(c) > eps, t, 0.0)
     cs = jax.lax.rsqrt(1.0 + t * t)
     sn = cs * t
@@ -83,6 +86,8 @@ def _caterpillar_round(XT, XB, JT, JB, eps):
     jT, jB = rot(JT, JB)
 
     def advance(T, B):
+        if T.shape[1] == 1:        # single pair: nothing to rotate through
+            return T, B
         # t' = [t0, b0, t1..t_{m-2}],  b' = [b1..b_{m-1}, t_{m-1}]
         Tn = jnp.concatenate([T[:, :1], B[:, :1], T[:, 1:-1]], axis=1)
         Bn = jnp.concatenate([B[:, 1:], T[:, -1:]], axis=1)
@@ -242,7 +247,8 @@ def jacobi_eigh(G: jnp.ndarray, sweeps: int = 10):
         apq = jnp.diagonal(A4[:, :, 0, :, 1], axis1=1, axis2=2)  # (B, m)
         # Givens rotation annihilating A[2k, 2k+1]
         tau = (aqq - app) / (2.0 * jnp.where(apq == 0, 1.0, apq))
-        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        sgn = jnp.where(tau >= 0, 1.0, -1.0).astype(tau.dtype)
+        t = sgn / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
         t = jnp.where(apq == 0, 0.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c

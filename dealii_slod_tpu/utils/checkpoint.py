@@ -25,6 +25,9 @@ def _config_fingerprint(cfg, n_components: int) -> str:
         "constant_coefficients": cfg.constant_coefficients,
         "coef": [cfg.coef_min, cfg.coef_max, cfg.coef_refinement,
                  cfg.coef_seed, bool(cfg.reference_parity)],
+        "coef_field": cfg.coef_field,
+        "svd_threshold": cfg.svd_threshold,
+        "eig_solver": cfg.eig_solver,
         "n_components": n_components,
         "dtype": cfg.dtype,
     }

@@ -64,3 +64,34 @@ def test_pallas_jacobi_interpret_mode():
     lam, V = jacobi_eigh_pallas(G, sweeps=14)
     lam_ref = np.linalg.eigvalsh(np.asarray(G))[:, ::-1]
     np.testing.assert_allclose(np.asarray(lam), lam_ref, rtol=1e-10)
+
+
+def test_equal_diagonal_coupling_rotated():
+    """zeta == 0 (equal row norms / diagonals, nonzero coupling) must still
+    rotate: [[1, .5], [.5, 1]] has eigenvalues (1.5, 0.5).  Regression for
+    the jnp.sign(0) == 0 bug (ADVICE r1)."""
+    from dealii_slod_tpu.ops.eig import jacobi_eigh_onesided
+    G = jnp.asarray([[[1.0, 0.5], [0.5, 1.0]]])
+    lam, V = jacobi_eigh_onesided(G, sweeps=10)
+    np.testing.assert_allclose(np.asarray(lam[0]), [1.5, 0.5], atol=1e-12)
+    lam2, _ = jacobi_eigh(G, sweeps=10)
+    np.testing.assert_allclose(np.asarray(lam2[0]), [1.5, 0.5], atol=1e-12)
+    # equal-diagonal tridiagonal, two-sided
+    T = np.eye(5) * 2.0 + np.diag(np.ones(4), 1) + np.diag(np.ones(4), -1)
+    lam3, _ = jacobi_eigh(jnp.asarray(T[None]), sweeps=12)
+    ref = np.sort(np.linalg.eigvalsh(T))[::-1]
+    np.testing.assert_allclose(np.asarray(lam3[0]), ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_tiny_matrices(n):
+    """n <= 2 previously broke the caterpillar advance (carry-shape error)."""
+    from dealii_slod_tpu.ops.eig import jacobi_eigh_onesided
+    rng = np.random.default_rng(4)
+    M = rng.standard_normal((3, n, n))
+    G = jnp.asarray(np.einsum("bik,bjk->bij", M, M))
+    lam, V = jacobi_eigh_onesided(G, sweeps=8)
+    lam_ref = np.linalg.eigvalsh(np.asarray(G))[:, ::-1]
+    np.testing.assert_allclose(np.asarray(lam), lam_ref, atol=1e-10)
+    lam2, _ = jacobi_eigh(G, sweeps=8)
+    np.testing.assert_allclose(np.asarray(lam2), lam_ref, atol=1e-10)
