@@ -217,6 +217,9 @@ class SLODConfig:
                                       # (TPU replacement for the reference's
                                       # TimerOutput instrumentation beyond
                                       # the built-in stage timers)
+    error_norms: tuple = ("L2", "H1", "Linfty")  # norms reported in the
+                                      # convergence tables ("List of error
+                                      # norms to compute", LOD.h:150-156)
 
     # ----------------------------------------------------------------------
     @property
@@ -309,6 +312,38 @@ class SLODConfig:
         bc = get("Dirichlet boundary conditions/Function expression")
         if bc is not None:
             kw["bc"] = bc
+
+        # nested ReductionControl sections (reference LOD.h:108-109,126-127;
+        # deal.II declares Max steps / Tolerance / Reduction).  Exact-path
+        # lookups: 'Tolerance' alone would collide between the two solvers.
+        def solver_control(section, default):
+            base = f"Problem/Solver/{section} solver control/"
+            if not any(k.startswith(base) for k in cfg):
+                return default
+            return ReductionControl(
+                max_steps=int(float(cfg.get(base + "Max steps",
+                                            default.max_steps))),
+                tolerance=float(cfg.get(base + "Tolerance",
+                                        default.tolerance)),
+                reduce=float(cfg.get(base + "Reduction", default.reduce)))
+
+        kw["fine_solver"] = solver_control("Fine", ReductionControl(1000))
+        kw["coarse_solver"] = solver_control("Coarse", ReductionControl(1000))
+
+        # /Problem/Error tables: norms list (LOD.h:150-156).  deal.II spells
+        # them L2_norm / H1_norm / Linfty_norm (semicolon-separated per
+        # component block, comma-separated within).
+        norms_spec = get("Error/List of error norms to compute")
+        if norms_spec is not None:
+            names = {"l2_norm": "L2", "h1_norm": "H1", "h1_seminorm": "H1",
+                     "linfty_norm": "Linfty"}
+            seen = []
+            for tok in re.split(r"[;,]", norms_spec):
+                norm = names.get(tok.strip().lower())
+                if norm and norm not in seen:
+                    seen.append(norm)
+            if seen:
+                kw["error_norms"] = tuple(seen)
         kw.update(overrides)
         return cls(**kw)
 
@@ -338,6 +373,24 @@ class SLODConfig:
             "  end\n"
             "  subsection Right hand side\n"
             f"    set Function expression = {rhs}\n"
+            "  end\n"
+            "  subsection Solver\n"
+            "    subsection Fine solver control\n"
+            f"      set Max steps = {self.fine_solver.max_steps}\n"
+            f"      set Tolerance = {self.fine_solver.tolerance}\n"
+            f"      set Reduction = {self.fine_solver.reduce}\n"
+            "    end\n"
+            "    subsection Coarse solver control\n"
+            f"      set Max steps = {self.coarse_solver.max_steps}\n"
+            f"      set Tolerance = {self.coarse_solver.tolerance}\n"
+            f"      set Reduction = {self.coarse_solver.reduce}\n"
+            "    end\n"
+            "  end\n"
+            "  subsection Error\n"
+            "    set List of error norms to compute = "
+            + ", ".join({"L2": "L2_norm", "H1": "H1_norm",
+                         "Linfty": "Linfty_norm"}[n]
+                        for n in self.error_norms) + "\n"
             "  end\n"
             "end\n"
         )

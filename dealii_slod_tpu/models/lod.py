@@ -704,10 +704,18 @@ class LODSolver:
         return self._cell_tab
 
     def _stencil_build_cells(self, Phi, APhi):
-        """Cell-decomposed stencil build (one batched contraction + K small
-        gathers; replaces the S-round loop of `_stencil_build_roll`)."""
+        """Cell-decomposed stencil build: one batched contraction over
+        owned nodes, one row gather of the cell-pair table onto the patch
+        axis, then ``dim`` small *separable* indicator contractions that
+        realize the slot correlation  A_st[q, delta] = sum_k1 G2[q, k1,
+        k1 - delta]  axis by axis — replacing a K-times-unrolled
+        gather/accumulate loop (K = 125 in 3D at l=2) that dominated both
+        compile time and HBM write traffic."""
         C = self.C
         P = self.topo.n_patches
+        dim = self.cfg.dim
+        kappa = 2 * self.cfg.oversampling + 1
+        S1 = 2 * self.stencil_R + 1
         tab = self._cell_tables()
         K, K2, O = tab["K"], tab["K2"], tab["O"]
 
@@ -723,16 +731,28 @@ class LODSolver:
         Pc = cell_table(Phi.reshape(P, self.canvas_n, C, C), 1)
         Ac = cell_table(APhi.reshape(P, self.canvas_n, C, C), 2)
         T = jnp.einsum("ekocd,emocf->ekmdf", Pc, Ac)     # (E, K, K2, C, C)
-        # pad slot axis for the -1 entries of k2map
-        Tpad = jnp.concatenate(
-            [T, jnp.zeros(T.shape[:2] + (1,) + T.shape[3:], T.dtype)], axis=2)
-        A_st = jnp.zeros((P, self.n_stencil, C, C), self.dtype)
-        for k1 in range(K):
-            Xk = Tpad[tab["e_idx"][:, k1], k1]           # (P, K2+1, C, C)
-            Xk = Xk * tab["evalid"][:, k1, None, None, None]
-            k2 = tab["k2map"][k1]                        # (S,) with -1 -> pad
-            A_st = A_st + Xk[:, jnp.asarray(np.where(k2 < 0, K2, k2))]
-        return A_st
+        # cell-pair rows onto the patch axis: G2[q, k1] = T[e(q, k1), k1]
+        G2 = T[jnp.asarray(tab["e_idx"]), jnp.arange(K)[None, :]]
+        G2 = G2 * tab["evalid"][:, :, None, None, None]
+        # per-axis slot-match indicator: M[k, m, j] = 1 iff m == k - (j - R)
+        # (the per-axis factor of the k2map relation, LOD.cc
+        # compute_mmult_pattern analog); invalid slot pairs simply no-match.
+        M = jnp.asarray(
+            (np.arange(kappa)[:, None, None]
+             - (np.arange(S1)[None, None, :] - self.stencil_R)
+             == np.arange(kappa + 1)[None, :, None]).astype(self.dtype))
+        # reshape flat slot axes to per-axis grids (ravel is axis-0-fastest,
+        # so the reshaped order is reversed: spatial axis dim-1 first)
+        X = G2.reshape((P,) + (kappa,) * dim + (kappa + 1,) * dim + (C, C))
+        kL, mL, jL = "abc"[:dim], "uvw"[:dim], "ijl"[:dim]
+        sub = "p" + kL + mL + "xy"
+        for a in range(dim):
+            out = sub.replace(kL[a], "").replace(mL[a], "")
+            out = out[:-2] + jL[a] + "xy"
+            X = jnp.einsum(f"{sub},{kL[a]}{mL[a]}{jL[a]}->{out}", X, M)
+            sub = out
+        # axes now (P, j_{dim-1}, ..., j_0, C, C): flat index axis-0-fastest
+        return X.reshape(P, self.n_stencil, C, C)
 
     def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:
         u_nb = u[self.stencil_nbr]                            # (P, S, C)
@@ -1114,6 +1134,12 @@ class LODSolver:
         results: Dict = {}
         conn_np = np.asarray(self.conn)
         exact = self.parse(cfg.exact_solution)
+
+        from dealii_slod_tpu.utils import errors as _errmod
+
+        def error_norms(*a, **k):  # noqa: F811 — filter to the configured
+            d = _errmod.error_norms(*a, **k)  # norms list (LOD.h:150-156)
+            return {key: d[key] for key in cfg.error_norms if key in d}
 
         if cfg.solve_fine_problem:
             with self.timer.section("4: solve fine FEM"):

@@ -73,3 +73,47 @@ def test_cli_reads_existing_prm(rundir):
     used = (rundir / "used_parameters_2.prm").read_text()
     assert "set Oversampling = 2" in used
     assert "set Stabilize phi_LOD candidates = true" in used
+
+
+def test_prm_solver_controls_roundtrip(tmp_path):
+    """Reference prm files carry nested ReductionControl + Error sections
+    (LOD.h:108-109,126-127,150-156); they must parse and round-trip."""
+    from dealii_slod_tpu.config import ReductionControl, SLODConfig
+    cfg = SLODConfig(
+        fine_solver=ReductionControl(222, 1e-9, 1e-3),
+        coarse_solver=ReductionControl(333, 1e-7, 1e-4),
+        error_norms=("L2", "Linfty"))
+    p = tmp_path / "params.prm"
+    p.write_text(cfg.to_prm())
+    cfg2 = SLODConfig.from_prm(str(p))
+    assert cfg2.fine_solver == ReductionControl(222, 1e-9, 1e-3)
+    assert cfg2.coarse_solver == ReductionControl(333, 1e-7, 1e-4)
+    assert cfg2.error_norms == ("L2", "Linfty")
+
+
+def test_prm_solver_controls_dealii_style(tmp_path):
+    """A hand-written deal.II-style prm with solver sections is honored."""
+    from dealii_slod_tpu.config import SLODConfig
+    p = tmp_path / "ref.prm"
+    p.write_text("""
+subsection Problem
+  set Oversampling = 3
+  subsection Solver
+    subsection Coarse solver control
+      set Max steps  = 47
+      set Tolerance  = 1.e-12
+      set Reduction  = 1.e-6
+    end
+  end
+  subsection Error
+    set List of error norms to compute = L2_norm, H1_norm
+  end
+end
+""")
+    cfg = SLODConfig.from_prm(str(p))
+    assert cfg.oversampling == 3
+    assert cfg.coarse_solver.max_steps == 47
+    assert cfg.coarse_solver.tolerance == 1e-12
+    assert cfg.coarse_solver.reduce == 1e-6
+    assert cfg.fine_solver.max_steps == 1000  # untouched default
+    assert cfg.error_norms == ("L2", "H1")
