@@ -778,11 +778,17 @@ class LODSolver:
         bnd = jnp.asarray(self.grid.boundary_node_mask())
         g = jnp.asarray(self.parse(cfg.bc)(self.grid.node_coords()),
                         self.dtype)
-        g_ext = jnp.where(bnd[:, None], g, 0.0)
+        # lifting = the GLOBAL nodal interpolant of g (g is defined on all of
+        # [0,1]^dim), not extension-by-zero: the eliminated rhs then stays a
+        # smooth L2 functional (~ f + div(alpha grad g)), which the LOD space
+        # approximates at the theoretical rate.  Extension-by-zero (what
+        # AffineConstraints elimination amounts to in the reference,
+        # LOD.cc:1017-1021) concentrates the rhs in the first fine layer and
+        # stalls LOD convergence (tests/test_inhomogeneous_bc.py).
         op_raw = FineOperator(self.grid, self.et, self.conn, self.coef_q)
-        rhs = jnp.where(bnd[:, None], 0.0, load - op_raw._apply_raw(g_ext))
+        rhs = jnp.where(bnd[:, None], 0.0, load - op_raw._apply_raw(g))
         self.fine_bnd = bnd
-        self.fine_bc_values = g_ext
+        self.fine_bc_values = g
         self.fem_rhs = rhs
         return rhs
 
@@ -836,7 +842,9 @@ class LODSolver:
         res = cg(op, self.fem_rhs, max_steps=rc.max_steps,
                  tolerance=rc.tolerance, reduce=rc.reduce,
                  precond=precond)
-        u = jnp.where(self.fine_bnd[:, None], self.fine_bc_values, res.x)
+        # res.x is the eliminated correction (zero at Dirichlet rows); the
+        # full solution re-adds the global interpolant lifting
+        u = res.x + self.fine_bc_values
         self.fem_solution = u
         self.fine_cg = res
         if int(res.n_iter) >= rc.max_steps:
@@ -866,11 +874,19 @@ class LODSolver:
         return res.x
 
     def prolong_lod_solution(self) -> jnp.ndarray:
-        """lod_solution = C u: scatter the u-weighted basis canvases into the
-        global fine grid (reference LOD.cc:1251)."""
+        """lod_solution = C u + g: scatter the u-weighted basis canvases into
+        the global fine grid (reference LOD.cc:1251) and re-add the Dirichlet
+        lifting that ``assemble_fine_rhs`` eliminated.
+
+        The reference never adds the lifting back — its coarse
+        ``distribute`` (LOD.cc:1001) is a no-op on DGQ0, so for g != 0 its
+        LOD solution is wrong at the boundary (recorded in PARITY.md); here
+        the lifting is restored so inhomogeneous problems converge."""
         vals = jnp.einsum("pncd,pd->pnc", self.Phi, self.coarse_solution)
         out = jnp.zeros((self.grid.n_nodes, self.C), self.dtype)
         out = out.at[self.canvas_gidx].add(vals)
+        if hasattr(self, "fine_bc_values"):
+            out = out + self.fine_bc_values
         self.lod_solution = out
         return out
 
