@@ -212,6 +212,11 @@ class SLODConfig:
                                       # "jacobi" (VMEM-resident Pallas
                                       # one-sided Jacobi, ~1.5-2x faster),
                                       # "auto" = jacobi on TPU float32
+    eig_sweeps: int = 16              # max Jacobi sweeps (adaptive monitor
+                                      # stops typical patches at ~6)
+    eig_tol: float = 1e-12            # squared-row-cosine convergence
+                                      # threshold for the adaptive monitor
+                                      # (0 = fixed eig_sweeps sweeps)
     profile_dir: str = ""             # non-empty: wrap the pipeline in a
                                       # jax.profiler trace written there
                                       # (TPU replacement for the reference's

@@ -41,7 +41,7 @@ from dealii_slod_tpu.ops.assembly import (FineOperator, assemble_dense,
                                           make_subcell_matrices)
 from dealii_slod_tpu.ops.element import ElementTensors, quad_points_global
 from dealii_slod_tpu.ops.solvers import (cg, cholesky_factor, cholesky_solve,
-                                         dense_dirichlet_solve)
+                                         dense_dirichlet_solve, spd_inverse)
 from dealii_slod_tpu.utils.errors import ConvergenceTable, error_norms
 from dealii_slod_tpu.utils.timers import StageTimer
 
@@ -404,7 +404,9 @@ class LODSolver:
             L = cholesky_factor(A_solve)
             Ainv_PT = cholesky_solve(L, PT_m)                # (nI, cD)
             T = (PT_m.T @ Ainv_PT) / Hdim + jnp.diag(1.0 - cvd)
-            Tinv = jnp.linalg.inv(T)
+            # T is SPD: Cholesky-based explicit inverse (gauss_jordan in the
+            # reference, LOD.cc:553) — LU is overhead-bound at this size
+            Tinv = spd_inverse(T)
             A_cols_I = interior_cols(A_raw)                  # (nD, nI)
 
             node_in = ((node_coords >= nlo)
@@ -437,7 +439,9 @@ class LODSolver:
                     # same semantics as compute_inverse_svd (LOD.cc:667)
                     if use_jacobi:
                         # VMEM-resident Pallas one-sided Jacobi (ops/eig.py)
-                        lam, V = jacobi_eigh_pallas(G, sweeps=12)
+                        # with adaptive sweeps (typical patches stop ~6)
+                        lam, V = jacobi_eigh_pallas(
+                            G, sweeps=cfg.eig_sweeps, tol=cfg.eig_tol)
                     else:
                         lam, V = jnp.linalg.eigh(G)
                         lam = lam[::-1]
@@ -473,6 +477,36 @@ class LODSolver:
                     Aphi.reshape(n_nodes, C, C))
 
         return one_patch
+
+    def _coef_windows(self, coef: jnp.ndarray) -> jnp.ndarray:
+        """Patch-subcell coefficient windows (n_fine_cells, nq) ->
+        (P, n_sub, nq) by structured window extraction
+        (``conv_general_dilated_patches``) instead of a (P, n_sub) random
+        gather — the gather was HBM-gather-bound on TPU (~0.45 s at the
+        north-star config), the window op streams.  Out-of-domain subcells
+        come back zero (padding), exactly matching the in-window coefficient
+        mask the uniform kernel applies anyway."""
+        cfg, g = self.cfg, self.grid
+        dim = cfg.dim
+        s = cfg.n_subdivisions
+        ell = cfg.oversampling
+        win = (2 * ell + 1) * s
+        grid = _rev(g.fine_cell_dims)
+        nq = coef.shape[-1]
+        cg = jnp.moveaxis(coef.reshape(grid + (nq,)), -1, 0)[None]
+        pat = jax.lax.conv_general_dilated_patches(
+            cg, filter_shape=(win,) * dim, window_strides=(s,) * dim,
+            padding=[(ell * s, ell * s)] * dim)
+        pat = pat.reshape(nq, win ** dim, -1)          # (nq, n_sub, P)
+        return jnp.transpose(pat, (2, 1, 0))
+
+    def _use_coef_windows(self) -> bool:
+        """Window extraction applies whenever the per-patch coefficient rows
+        are the plain geometric windows — i.e. except under the reference's
+        constant-coefficient stiffness-cache semantics, which redirect
+        full-size patches to the first one's rows (LOD.cc:354-361)."""
+        return (self.cfg.kernel_mode == "uniform"
+                and not self.cfg.constant_coefficients)
 
     def compute_basis(self):
         """Run the basis kernels; fills ``self.Phi``/``self.APhi`` canvases
@@ -517,7 +551,12 @@ class LODSolver:
                                      sides[rep])
         B = len(nlo)
 
-        gsub = jnp.asarray(gsub)
+        use_windows = self._use_coef_windows() and dedup is None
+        if use_windows:
+            cw = {k: self._coef_windows(self.coef_q[k])
+                  for k in self.coef_names}
+        else:
+            gsub = jnp.asarray(gsub)
         nlo_j, nhi_j = jnp.asarray(nlo), jnp.asarray(nhi)
         sides_j = jnp.asarray(sides)
         Phi = jnp.zeros((B, self.canvas_n, C, C), self.dtype)
@@ -526,7 +565,10 @@ class LODSolver:
         for lo in range(0, B, step):
             idx = np.minimum(np.arange(lo, lo + step), B - 1)
             jidx = jnp.asarray(idx)
-            cl = [self.coef_q[k][gsub[jidx]] for k in self.coef_names]
+            if use_windows:
+                cl = [cw[k][jidx] for k in self.coef_names]
+            else:
+                cl = [self.coef_q[k][gsub[jidx]] for k in self.coef_names]
             phi_c, aphi_c = kernel(cl, nlo_j[jidx], nhi_j[jidx],
                                    sides_j[jidx])
             keep = min(lo + step, B) - lo
@@ -755,9 +797,25 @@ class LODSolver:
         return X.reshape(P, self.n_stencil, C, C)
 
     def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:
-        u_nb = u[self.stencil_nbr]                            # (P, S, C)
-        u_nb = u_nb * self.stencil_valid[:, :, None]
-        return jnp.einsum("psde,pse->pd", A_st, u_nb)
+        """Stencil matvec A_LOD u: the neighbor values u[q + delta] are
+        extracted as structured windows over the coarse lattice
+        (``conv_general_dilated_patches`` — one fused XLA window op) instead
+        of a (P, S) random gather, which on TPU was ~20 ms per matvec
+        (gather-bound) vs ~1 ms for the window form."""
+        cfg, C = self.cfg, self.C
+        R = self.stencil_R
+        dim = cfg.dim
+        grid = _rev(self.grid.cell_dims)                      # (z, y, x)
+        ug = u.reshape(grid + (C,))
+        ug = jnp.moveaxis(ug, -1, 0)[None]                    # (1, C, z, y, x)
+        # out channel = c * S + f with filter positions raveled row-major
+        # over (z, y, x), i.e. x fastest — matching the stencil_offsets
+        # ravel; zero padding realizes the domain-validity mask
+        patches = jax.lax.conv_general_dilated_patches(
+            ug, filter_shape=(2 * R + 1,) * dim,
+            window_strides=(1,) * dim, padding=[(R, R)] * dim)
+        u_nb = patches.reshape(C, self.n_stencil, -1)         # (C, S, P)
+        return jnp.einsum("psde,esp->pd", A_st, u_nb)
 
     def coarse_matvec(self, u: jnp.ndarray) -> jnp.ndarray:
         """u: (P, C) -> A_LOD u (P, C) via stencil gather."""
@@ -929,15 +987,18 @@ class LODSolver:
                 return n_chunks, np.minimum(np.arange(n_chunks * chunk), B - 1)
             return 1, np.arange(B)
 
-        # each batch: (pids, gsub, extra per-patch inputs, n_chunks, B, fn)
+        # each batch: (pids, gsub-or-None, pad idx, extra per-patch inputs,
+        # n_chunks, B, fn); gsub None = structured coefficient-window
+        # extraction inside the traced step (see _coef_windows)
         batches = []
         if self.cfg.kernel_mode == "uniform":
             gsub, nlo, nhi, sides = self._uniform_inputs()
             B = self.topo.n_patches
             n_chunks, idx = pad_idx(B)
+            g_j = (None if self._use_coef_windows()
+                   else jnp.asarray(np.ascontiguousarray(gsub[idx])))
             batches.append(
-                (jnp.asarray(np.arange(B)),
-                 jnp.asarray(np.ascontiguousarray(gsub[idx])),
+                (jnp.asarray(np.arange(B)), g_j, jnp.asarray(idx),
                  (jnp.asarray(nlo[idx]), jnp.asarray(nhi[idx]),
                   jnp.asarray(sides[idx])),
                  n_chunks, B, self._uniform_patch_fn()))
@@ -949,6 +1010,7 @@ class LODSolver:
                 batches.append(
                     (jnp.asarray(pids),
                      jnp.asarray(np.ascontiguousarray(gsub[idx])),
+                     jnp.asarray(idx),
                      (jnp.asarray(is99[idx]), jnp.asarray(isdom[idx]),
                       jnp.asarray(central[idx]), jnp.asarray(off[idx])),
                      n_chunks, B, self._class_patch_fn(ci)))
@@ -962,10 +1024,14 @@ class LODSolver:
         def _step_inner(coefs, fem_rhs):
             Phi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
             APhi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
-            for pids, gsub, extras, n_chunks, B, fn in batches:
+            for pids, gsub, idx, extras, n_chunks, B, fn in batches:
                 n_extra = len(extras)
                 vfn = jax.vmap(fn, in_axes=([0] * nc,) + (0,) * n_extra)
-                cl = [coefs[k][gsub] for k in self.coef_names]
+                if gsub is None:
+                    cl = [self._coef_windows(coefs[k])[idx]
+                          for k in self.coef_names]
+                else:
+                    cl = [coefs[k][gsub] for k in self.coef_names]
                 if n_chunks == 1:
                     phi_c, aphi_c = vfn([constrain(c) for c in cl],
                                         *[constrain(e) for e in extras])

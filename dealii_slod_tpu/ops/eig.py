@@ -59,16 +59,23 @@ def _ring_permutation(n: int) -> np.ndarray:
     return perm
 
 
-def _caterpillar_round(XT, XB, JT, JB, eps):
+def _caterpillar_round(XT, XB, JT, JB, eps, off=None):
     """One parallel Jacobi round in the (top, bottom) pair layout.
 
     Rows 2k / 2k+1 of the working matrix live in XT[:, k] / XB[:, k]; the
     tournament advance is the textbook caterpillar shift — static slices +
     concat only (no gathers), which is what makes this layout viable inside
-    a Pallas kernel where the matrices stay VMEM-resident."""
+    a Pallas kernel where the matrices stay VMEM-resident.
+
+    When ``off`` is given, the maximum squared row-cosine of the round
+    (max c^2 / (a b) over pairs and batch) is folded into it — the
+    convergence monitor for adaptive sweep counts."""
     a = jnp.sum(XT * XT, axis=-1, keepdims=True)
     b = jnp.sum(XB * XB, axis=-1, keepdims=True)
     c = jnp.sum(XT * XB, axis=-1, keepdims=True)
+    if off is not None:
+        cos2 = (c * c) / (a * b + eps)
+        off = jnp.maximum(off, jnp.max(cos2))
     safe_c = jnp.where(jnp.abs(c) > eps, c, 1.0)
     zeta = (b - a) / (2.0 * safe_c)
     # zero-safe sign: jnp.sign(0) == 0 would skip the rotation for pairs
@@ -95,18 +102,25 @@ def _caterpillar_round(XT, XB, JT, JB, eps):
 
     XT, XB = advance(nT, nB)
     JT, JB = advance(jT, jB)
+    if off is not None:
+        return XT, XB, JT, JB, off
     return XT, XB, JT, JB
 
 
-@partial(jax.jit, static_argnames=("sweeps",))
-def jacobi_eigh_onesided(G: jnp.ndarray, sweeps: int = 10):
+@partial(jax.jit, static_argnames=("sweeps", "tol"))
+def jacobi_eigh_onesided(G: jnp.ndarray, sweeps: int = 10,
+                         tol: float = 0.0):
     """Eigendecomposition of symmetric PSD (..., n, n) matrices by
     one-sided (Hestenes) Jacobi in the caterpillar layout.
 
     At convergence the rows of the working matrix X (= columns of G rotated
     by the accumulated J) are orthogonal; eigenvalues are their norms and
     eigenvectors the rows of J^T.  Returns eigenvalues descending and
-    eigenvectors as columns, like jnp.linalg.eigh up to ordering."""
+    eigenvectors as columns, like jnp.linalg.eigh up to ordering.
+
+    ``tol > 0`` enables the adaptive sweep count: stop as soon as every
+    pair's squared row-cosine in the previous sweep was below ``tol``
+    (``sweeps`` then acts as the maximum)."""
     batch_shape = G.shape[:-2]
     n0 = G.shape[-1]
     G = G.reshape((-1, n0, n0))
@@ -125,11 +139,31 @@ def jacobi_eigh_onesided(G: jnp.ndarray, sweeps: int = 10):
     JT = jnp.broadcast_to(eyeT[0::2], (B, m, n)) + 0.0
     JB = jnp.broadcast_to(eyeT[1::2], (B, m, n)) + 0.0
 
-    def body(r, carry):
-        return _caterpillar_round(*carry, eps)
+    if tol <= 0.0:
+        def body(r, carry):
+            return _caterpillar_round(*carry, eps)
 
-    XT, XB, JT, JB = jax.lax.fori_loop(
-        0, (n - 1) * sweeps, body, (XT, XB, JT, JB))
+        XT, XB, JT, JB = jax.lax.fori_loop(
+            0, (n - 1) * sweeps, body, (XT, XB, JT, JB))
+    else:
+        def sweep(carry):
+            XT, XB, JT, JB, it, _ = carry
+            off0 = jnp.zeros((), G.dtype)
+
+            def body(r, c2):
+                return _caterpillar_round(*c2[:4], eps, off=c2[4])
+
+            XT, XB, JT, JB, off = jax.lax.fori_loop(
+                0, n - 1, body, (XT, XB, JT, JB, off0))
+            return XT, XB, JT, JB, it + 1, off
+
+        def cond(carry):
+            it, off = carry[4], carry[5]
+            return (it < sweeps) & (off > tol)
+
+        state = (XT, XB, JT, JB, jnp.zeros((), jnp.int32),
+                 jnp.asarray(jnp.inf, G.dtype))
+        XT, XB, JT, JB, _, _ = jax.lax.while_loop(cond, sweep, state)
     return _finalize_onesided(XT, XB, JT, JB, n0, batch_shape)
 
 
@@ -152,7 +186,8 @@ def _finalize_onesided(XT, XB, JT, JB, n0, batch_shape):
             V.reshape(batch_shape + (n0, n0)))
 
 
-def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16):
+def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
+                       tol: float = 0.0):
     """One-sided Jacobi eigensolver as a Pallas TPU kernel.
 
     The (top, bottom, J-top, J-bottom) working arrays stay **VMEM-resident
@@ -160,7 +195,11 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16):
     and one store of the results, vs O(rounds) full-matrix round trips for
     the XLA while-loop formulation.  Rounds are pure VPU work (row dots,
     rotations) plus static slice/concat shuffles (the caterpillar), so no
-    gathers/scatters reach Mosaic."""
+    gathers/scatters reach Mosaic.
+
+    ``tol > 0``: adaptive sweep count — each block stops as soon as every
+    pair's squared row-cosine in its previous sweep fell below ``tol``
+    (typical patches converge in ~6 sweeps; ``sweeps`` is the maximum)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -189,11 +228,31 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16):
         JT = (col == 2 * row).astype(XT.dtype)
         JB = (col == 2 * row + 1).astype(XT.dtype)
 
-        def body(r, carry):
-            return _caterpillar_round(*carry, eps)
+        if tol <= 0.0:
+            def body(r, carry):
+                return _caterpillar_round(*carry, eps)
 
-        XT, XB, JT, JB = jax.lax.fori_loop(
-            0, rounds, body, (XT, XB, JT, JB))
+            XT, XB, JT, JB = jax.lax.fori_loop(
+                0, rounds, body, (XT, XB, JT, JB))
+        else:
+            def sweep(carry):
+                XT, XB, JT, JB, it, _ = carry
+                off0 = jnp.zeros((), XT.dtype)
+
+                def body(r, c2):
+                    return _caterpillar_round(*c2[:4], eps, off=c2[4])
+
+                XT, XB, JT, JB, off = jax.lax.fori_loop(
+                    0, n - 1, body, (XT, XB, JT, JB, off0))
+                return XT, XB, JT, JB, it + 1, off
+
+            def cond(carry):
+                return (carry[4] < sweeps) & (carry[5] > tol)
+
+            XT, XB, JT, JB, _, _ = jax.lax.while_loop(
+                cond, sweep,
+                (XT, XB, JT, JB, jnp.zeros((), jnp.int32),
+                 jnp.asarray(np.finfo(np.float32).max, XT.dtype)))
         xto_ref[:] = XT
         xbo_ref[:] = XB
         jto_ref[:] = JT

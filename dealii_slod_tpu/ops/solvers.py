@@ -98,6 +98,19 @@ def spd_solve(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return cholesky_solve(cholesky_factor(A), B)
 
 
+def spd_inverse(A: jnp.ndarray) -> jnp.ndarray:
+    """Explicit SPD inverse via Cholesky: A^-1 = L^-T L^-1.
+
+    Replaces the reference's ``gauss_jordan()`` on the coarse triple product
+    (source/LOD.cc:553).  One triangular inverse + one MXU matmul beats
+    batched LU (`jnp.linalg.inv`) on TPU for the small (~125) SLOD blocks."""
+    n = A.shape[-1]
+    L = cholesky_factor(A)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    Linv = solve_triangular(L, eye, lower=True)
+    return jnp.swapaxes(Linv, -1, -2) @ Linv
+
+
 def dense_dirichlet_solve(A: jnp.ndarray, b: jnp.ndarray,
                           constrained: jnp.ndarray,
                           values: jnp.ndarray) -> jnp.ndarray:

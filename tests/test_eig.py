@@ -95,3 +95,18 @@ def test_tiny_matrices(n):
     np.testing.assert_allclose(np.asarray(lam), lam_ref, atol=1e-10)
     lam2, _ = jacobi_eigh(G, sweeps=8)
     np.testing.assert_allclose(np.asarray(lam2), lam_ref, atol=1e-10)
+
+
+def test_adaptive_sweeps_match_fixed():
+    """tol > 0 (adaptive sweep count) must reproduce the fixed-sweep
+    spectrum; interpret mode exercises the same while_loop the TPU runs."""
+    from dealii_slod_tpu.ops.eig import jacobi_eigh_onesided, jacobi_eigh_pallas
+    rng = np.random.default_rng(7)
+    n, B = 40, 8
+    M = rng.standard_normal((B, n, n // 2))
+    G = jnp.asarray(np.einsum("bik,bjk->bij", M, M))
+    lam_ref = np.linalg.eigvalsh(np.asarray(G))[:, ::-1]
+    lam, _ = jacobi_eigh_onesided(G, sweeps=30, tol=1e-28)
+    np.testing.assert_allclose(np.asarray(lam), lam_ref, atol=1e-10)
+    lam2, _ = jacobi_eigh_pallas(G, sweeps=30, tol=1e-28)
+    np.testing.assert_allclose(np.asarray(lam2), lam_ref, atol=1e-10)
