@@ -3,14 +3,20 @@
 North-star config (BASELINE.md): 4096 patches (16^3 coarse mesh), l=2
 oversampling, high-contrast random coefficients — patches/sec through
 Q_iso_Q1 assembly + batched internal Cholesky multi-RHS solve + SLOD
-boundary-trace SVD + coarse stencil assembly + coarse CG solve.
+boundary-trace spectral pseudo-inverse + coarse stencil assembly + coarse
+CG solve.
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md); the
 driver's target is 4096 patches assembled+decomposed+solved in < 1 s on a
 v5p-8, i.e. 4096 patches/s.  ``vs_baseline`` is measured rate / 4096.
 
+The JSON line also carries an analytic FLOP model (``detail.flops_model``),
+achieved ``tflops`` and ``mfu`` vs the chip's bf16 peak — the reference's
+TimerOutput measurement contract (source/LOD.cc:16-19) upgraded to
+hardware-utilization terms.
+
 Prints ONE JSON line.  Override the config via env vars BENCH_DIM,
-BENCH_REFINE, BENCH_SUB, BENCH_ELL, BENCH_CHUNK.
+BENCH_REFINE, BENCH_SUB, BENCH_ELL, BENCH_CHUNK, BENCH_PROBLEM, BENCH_REPS.
 """
 
 import json
@@ -18,6 +24,59 @@ import os
 import time
 
 import jax
+
+
+# bf16 MXU peak TFLOP/s per chip, by device-kind substring
+_PEAK_TFLOPS = [
+    ("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0), ("v5", 459.0),
+    ("v6e", 918.0), ("v4", 275.0), ("v3", 123.0),
+]
+
+
+def chip_peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", str(device)).lower()
+    for sub, peak in _PEAK_TFLOPS:
+        if sub in kind:
+            return peak
+    return 197.0
+
+
+def flops_model(dim, ell, s, C, P, n_stencil, slod=True, eig_sweeps=8,
+                cg_iters=40):
+    """Analytic FLOPs of the end-to-end step (per the pipeline stages in
+    models/lod.py one_patch + stencil build + coarse CG).  Counts multiply-
+    adds as 2 FLOPs; Cholesky n^3/3, TRSM n^2 k per triangle."""
+    kappa = 2 * ell + 1
+    nI = (kappa * s - 1) ** dim * C          # interior dofs per patch
+    nD = (kappa * s + 1) ** dim * C          # canvas dofs per patch
+    cD = kappa ** dim * C                    # coarse dofs per patch
+    n_sub = (kappa * s) ** dim
+    nq = 2 ** dim
+    m = nq * C
+    per_patch = {
+        "assembly": 2 * n_sub * nq * m * m,
+        "cholesky": nI ** 3 // 3,
+        "trsm_multirhs": 2 * nI * nI * cD,
+        "triple_product": 2 * nI * cD * cD,
+        "T_inverse": 3 * cD ** 3 + cD ** 3 // 3,
+    }
+    if slod:
+        per_patch.update({
+            "slod_trace_products": 2 * nD * nI * cD + 2 * nD * cD * cD,
+            "slod_gram": C * 2 * nD * cD * cD,
+            "slod_eig": C * 7 * eig_sweeps * cD ** 3,
+            "slod_candidates": C * (2 * cD * cD + 2 * nI * cD),
+        })
+    K, K2, O = kappa ** dim, (kappa + 1) ** dim, (s + 1) ** dim
+    global_flops = {
+        "stencil_cell_pairs": 2 * P * K * K2 * O * C * C,
+        "stencil_correlation": 2 * P * (kappa ** 2) * ((kappa + 1) ** 2)
+        * (2 * min(2 * ell, 10) + 1) * C * C * dim,
+        "coarse_cg": 2 * cg_iters * P * n_stencil * C * C,
+    }
+    stages = {k: v * P for k, v in per_patch.items()}
+    stages.update(global_flops)
+    return stages
 
 
 def main():
@@ -39,6 +98,7 @@ def main():
     sub = int(os.environ.get("BENCH_SUB", 2))
     ell = int(os.environ.get("BENCH_ELL", 2))
     chunk = int(os.environ.get("BENCH_CHUNK", 256))
+    reps = int(os.environ.get("BENCH_REPS", 5))
     problem = os.environ.get("BENCH_PROBLEM", "diffusion")
 
     cfg = SLODConfig(
@@ -67,31 +127,47 @@ def main():
         u, A_st = step(solver.coef_q, solver.fem_rhs)
         # fetch to host: on the axon backend block_until_ready does NOT
         # wait for the computation, so timings must materialize the value
-        return np.asarray(u)
+        return np.asarray(u), u
 
     # warm-up / compile
     t0 = time.perf_counter()
-    pipeline()
+    _, u_dev = pipeline()
     compile_s = time.perf_counter() - t0
 
-    # timed runs (fetch-inclusive)
+    # timed runs (fetch-inclusive; the fetched array is P floats — small)
     times = []
-    for _ in range(2):
+    for _ in range(reps):
         t0 = time.perf_counter()
         pipeline()
         times.append(time.perf_counter() - t0)
     best = min(times)
+    median = sorted(times)[len(times) // 2]
     rate = P / best
 
+    cg_iters = 40
+    stages = flops_model(dim, ell, sub, solver.C, P, solver.n_stencil,
+                         slod=True, eig_sweeps=8, cg_iters=cg_iters)
+    total_flops = sum(stages.values())
+    tflops = total_flops / best / 1e12
+    peak = chip_peak_tflops(jax.devices()[0])
+    metric = (f"{dim}d_slod_{problem}_patches_per_sec"
+              if problem != "diffusion" else f"{dim}d_slod_patches_per_sec")
+
     print(json.dumps({
-        "metric": f"{dim}d_slod_{problem}_patches_per_sec" if problem != "diffusion" else f"{dim}d_slod_patches_per_sec",
+        "metric": metric,
         "value": round(rate, 2),
         "unit": "patches/s",
         "vs_baseline": round(rate / 4096.0, 4),
         "detail": {
             "patches": P, "dim": dim, "oversampling": ell,
             "n_subdivisions": sub, "coarse_cells_per_axis": 2 ** refine,
-            "wall_s": round(best, 4), "compile_s": round(compile_s, 2),
+            "wall_s": round(best, 4), "wall_median_s": round(median, 4),
+            "reps": reps, "compile_s": round(compile_s, 2),
+            "tflops": round(tflops, 3),
+            "mfu": round(tflops / peak, 5),
+            "peak_tflops_bf16": peak,
+            "flops_model": {k: int(v) for k, v in stages.items()},
+            "flops_total": int(total_flops),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

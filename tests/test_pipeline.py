@@ -203,3 +203,28 @@ def test_elasticity_parity_shares_rand_stream():
     ref = GlibcRand().uniform_reference(1, 100, 2 * n)
     np.testing.assert_array_equal(prob.lam.values, ref[:n])
     np.testing.assert_array_equal(prob.mu.values, ref[n:])
+
+
+def test_glibc_sampler_matches_compiled_c(tmp_path):
+    """VERDICT r1 #3/#7: the 'platform rand()' golden-anchor claim, made
+    checkable — compile the reference's 20-line sampling loop
+    (Poisson_LOD_Example.cc:1483-1502 / Diffusion.h:28-36) with THIS
+    machine's libc and require bit-identity with GlibcRand."""
+    import shutil
+    import subprocess
+
+    cc = shutil.which("gcc") or shutil.which("cc")
+    if cc is None:
+        import pytest
+        pytest.skip("no C compiler")
+    import os
+    src = os.path.join(os.path.dirname(__file__), "..", "native",
+                       "ref_sampler.c")
+    exe = str(tmp_path / "ref_sampler")
+    subprocess.run([cc, "-O2", "-o", exe, src, "-lm"], check=True)
+    out = subprocess.run([exe, "1", "100", "8", "2"], capture_output=True,
+                         text=True, check=True).stdout
+    c_vals = np.array([float(x) for x in out.split()])
+    from dealii_slod_tpu.models.coefficients import GlibcRand
+    py_vals = GlibcRand().uniform_reference(1.0, 100.0, len(c_vals))
+    assert np.array_equal(c_vals, py_vals)
