@@ -214,6 +214,20 @@ class SLODConfig:
                                       # "auto" = jacobi on TPU float32
     eig_sweeps: int = 16              # max Jacobi sweeps (adaptive monitor
                                       # stops typical patches at ~6)
+    patch_solver: str = "auto"        # per-patch SPD multi-RHS solve:
+                                      # "lax" (XLA Cholesky + TRSM),
+                                      # "fused" (VMEM-resident Pallas factor
+                                      # + forward/backward solve + triple
+                                      # product, ops/patch_solve.py),
+                                      # "auto" = fused on TPU float32
+    fused_block: int = 2              # patches per fused-kernel instance
+                                      # (VMEM ~ 2.4 MB * fused_block for the
+                                      # 3D l=2 patch matrix)
+    coef_windows: bool = True         # structured window extraction for the
+                                      # per-patch coefficient rows (vs the
+                                      # (P, n_sub) gather); auto-disabled
+                                      # under constant-coefficient cache
+                                      # semantics
     eig_tol: float = 1e-12            # squared-row-cosine convergence
                                       # threshold for the adaptive monitor
                                       # (0 = fixed eig_sweeps sweeps)

@@ -311,14 +311,15 @@ class LODSolver:
                + topo.patch_shape * cfg.n_subdivisions).astype(np.int32)
         return gsub, nlo, nhi, topo.side_is_domain
 
-    def _uniform_patch_fn(self):
-        """Single-patch basis builder on the padded canvas.  Same
-        mathematics as `_class_patch_fn` (reference LOD.cc:296-768) but with
-        the real window described by per-patch masks instead of per-class
-        static shapes: fake subcells get zero coefficients, fake/boundary
-        dofs get identity rows, fake coarse cells get identity diagonal in
-        the triple product — all exactly equivalent to the per-class
-        computation (validated against it in tests/test_uniform.py)."""
+    def _uniform_core(self):
+        """Shared per-patch closures of the uniform padded-canvas kernel:
+
+        ``prep``   coefs+window -> assembled operators and masks,
+        ``finish`` solve products -> stabilized basis canvases.
+
+        `_uniform_patch_fn` composes them with an in-vmap Cholesky solve
+        (the lax path); `_uniform_chunk_fn` splits them around the batched
+        fused Pallas SPD multi-RHS kernel (ops/patch_solve.py)."""
         sc = self.canvas_class
         cfg, et, C = self.cfg, self.et, self.C
         dt = self.dtype
@@ -382,7 +383,8 @@ class LODSolver:
                 tuple(g - 2 for g in grid_rev) + (C, k)))
             return z.reshape(nD, k)
 
-        def one_patch(coef_list, nlo, nhi, sides_dom):
+        def prep(coef_list, nlo, nhi):
+            """Assembled operators + masks for one patch window."""
             in_sub = ((sub_coords >= nlo) & (sub_coords <= nhi - 1)
                       ).all(axis=1)                          # (n_sub,)
             coefs = {k: c * in_sub[:, None]
@@ -401,9 +403,10 @@ class LODSolver:
                           & (cell_lo + s <= nhi)).all(axis=1)
             cvd = jnp.repeat(cell_valid, C).astype(dt)       # (cD,)
             PT_m = PT_I * m[:, None] * cvd[None, :]
-            L = cholesky_factor(A_solve)
-            Ainv_PT = cholesky_solve(L, PT_m)                # (nI, cD)
-            T = (PT_m.T @ Ainv_PT) / Hdim + jnp.diag(1.0 - cvd)
+            return A_raw, A_solve, PT_m, cvd
+
+        def finish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides_dom):
+            """Solve products -> stabilized, normalized basis canvases."""
             # T is SPD: Cholesky-based explicit inverse (gauss_jordan in the
             # reference, LOD.cc:553) — LU is overhead-bound at this size
             Tinv = spd_inverse(T)
@@ -476,7 +479,63 @@ class LODSolver:
             return (phi.reshape(n_nodes, C, C),
                     Aphi.reshape(n_nodes, C, C))
 
-        return one_patch
+        def one_patch(coef_list, nlo, nhi, sides_dom):
+            A_raw, A_solve, PT_m, cvd = prep(coef_list, nlo, nhi)
+            L = cholesky_factor(A_solve)
+            Ainv_PT = cholesky_solve(L, PT_m)                # (nI, cD)
+            T = (PT_m.T @ Ainv_PT) / Hdim + jnp.diag(1.0 - cvd)
+            return finish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides_dom)
+
+        return prep, finish, one_patch
+
+    def _uniform_patch_fn(self):
+        """Single-patch basis builder on the padded canvas.  Same
+        mathematics as `_class_patch_fn` (reference LOD.cc:296-768) but with
+        the real window described by per-patch masks instead of per-class
+        static shapes: fake subcells get zero coefficients, fake/boundary
+        dofs get identity rows, fake coarse cells get identity diagonal in
+        the triple product — all exactly equivalent to the per-class
+        computation (validated against it in tests/test_uniform.py)."""
+        return self._uniform_core()[2]
+
+    def _use_fused_solver(self) -> bool:
+        mode = self.cfg.patch_solver
+        if mode == "auto":
+            return (self.dtype == jnp.float32
+                    and jax.default_backend() == "tpu")
+        return mode == "fused"
+
+    def _uniform_chunk_fn(self):
+        """Chunk-level uniform kernel: (coef_list of (B, n_sub, nq), nlo,
+        nhi, sides) -> (Phi, APhi) of (B, n_nodes, C, C).
+
+        lax path: plain vmap of the per-patch builder.  fused path: the
+        per-patch SPD multi-RHS solve is hoisted out of the vmap into ONE
+        batched VMEM-resident Pallas kernel (factor + forward/backward
+        multi-RHS + triple product, ops/patch_solve.py) between two vmapped
+        stages; A_raw is re-assembled in stage 2 (assembly is ~100x cheaper
+        than materializing the (nD, nD) matrices across the batch)."""
+        nc = len(self.coef_names)
+        prep, finish, one_patch = self._uniform_core()
+        if not self._use_fused_solver():
+            return jax.vmap(one_patch, in_axes=([0] * nc, 0, 0, 0))
+        from dealii_slod_tpu.ops.patch_solve import fused_spd_multirhs
+        Hdim = self.grid.H ** self.cfg.dim
+        bs = self.cfg.fused_block
+
+        vprep = jax.vmap(prep, in_axes=([0] * nc, 0, 0))
+        vfinish = jax.vmap(finish)
+
+        def cfn(coef_list, nlo, nhi, sides):
+            _, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
+            Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m, bs=bs)
+            eye = jnp.eye(cvd.shape[-1], dtype=self.dtype)
+            T = T_raw / Hdim + eye * (1.0 - cvd)[:, None, :]
+            # re-assemble A_raw for the trace/premultiply stage
+            A_raw, _, _, _ = vprep(coef_list, nlo, nhi)
+            return vfinish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides)
+
+        return cfn
 
     def _coef_windows(self, coef: jnp.ndarray) -> jnp.ndarray:
         """Patch-subcell coefficient windows (n_fine_cells, nq) ->
@@ -505,7 +564,8 @@ class LODSolver:
         are the plain geometric windows — i.e. except under the reference's
         constant-coefficient stiffness-cache semantics, which redirect
         full-size patches to the first one's rows (LOD.cc:354-361)."""
-        return (self.cfg.kernel_mode == "uniform"
+        return (self.cfg.coef_windows
+                and self.cfg.kernel_mode == "uniform"
                 and not self.cfg.constant_coefficients)
 
     def compute_basis(self):
@@ -533,12 +593,11 @@ class LODSolver:
         P, C = self.topo.n_patches, self.C
         chunk = self.cfg.patch_chunk or P
         if self._uniform_kernel_cache is None:
-            fn = self._uniform_patch_fn()
-            vfn = jax.vmap(fn, in_axes=([0] * len(self.coef_names), 0, 0, 0))
+            cfn = self._uniform_chunk_fn()
 
             def run(*args):
                 with jax.default_matmul_precision(self.cfg.matmul_precision):
-                    return vfn(*args)
+                    return cfn(*args)
 
             self._uniform_kernel_cache = jax.jit(run)
         kernel = self._uniform_kernel_cache
@@ -988,8 +1047,9 @@ class LODSolver:
             return 1, np.arange(B)
 
         # each batch: (pids, gsub-or-None, pad idx, extra per-patch inputs,
-        # n_chunks, B, fn); gsub None = structured coefficient-window
-        # extraction inside the traced step (see _coef_windows)
+        # n_chunks, B, chunk-level kernel fn); gsub None = structured
+        # coefficient-window extraction inside the traced step
+        nc_names = len(self.coef_names)
         batches = []
         if self.cfg.kernel_mode == "uniform":
             gsub, nlo, nhi, sides = self._uniform_inputs()
@@ -1001,21 +1061,21 @@ class LODSolver:
                 (jnp.asarray(np.arange(B)), g_j, jnp.asarray(idx),
                  (jnp.asarray(nlo[idx]), jnp.asarray(nhi[idx]),
                   jnp.asarray(sides[idx])),
-                 n_chunks, B, self._uniform_patch_fn()))
+                 n_chunks, B, self._uniform_chunk_fn()))
         else:
             for ci in range(len(self.topo.classes)):
                 pids, gsub, is99, isdom, central, off = self._class_inputs(ci)
                 B = len(pids)
                 n_chunks, idx = pad_idx(B)
+                fn_ci = self._class_patch_fn(ci)
                 batches.append(
                     (jnp.asarray(pids),
                      jnp.asarray(np.ascontiguousarray(gsub[idx])),
                      jnp.asarray(idx),
                      (jnp.asarray(is99[idx]), jnp.asarray(isdom[idx]),
                       jnp.asarray(central[idx]), jnp.asarray(off[idx])),
-                     n_chunks, B, self._class_patch_fn(ci)))
-
-        nc = len(self.coef_names)
+                     n_chunks, B,
+                     jax.vmap(fn_ci, in_axes=([0] * nc_names,) + (0,) * 4)))
 
         def step(coefs, fem_rhs):
             with jax.default_matmul_precision(self.cfg.matmul_precision):
@@ -1024,9 +1084,7 @@ class LODSolver:
         def _step_inner(coefs, fem_rhs):
             Phi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
             APhi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
-            for pids, gsub, idx, extras, n_chunks, B, fn in batches:
-                n_extra = len(extras)
-                vfn = jax.vmap(fn, in_axes=([0] * nc,) + (0,) * n_extra)
+            for pids, gsub, idx, extras, n_chunks, B, vfn in batches:
                 if gsub is None:
                     cl = [self._coef_windows(coefs[k])[idx]
                           for k in self.coef_names]

@@ -1,0 +1,48 @@
+"""Fused VMEM SPD multi-RHS kernel (ops/patch_solve.py) tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dealii_slod_tpu.ops.patch_solve import fused_spd_multirhs
+
+
+@pytest.mark.parametrize("n,k,nb,bs", [(200, 37, 64, 1), (64, 5, 32, 2),
+                                       (129, 129, 64, 3)])
+def test_fused_matches_dense_solve(n, k, nb, bs):
+    rng = np.random.default_rng(0)
+    P = 4
+    M = rng.standard_normal((P, n, max(n // 3, 4)))
+    A = np.einsum("bik,bjk->bij", M, M) + n * np.eye(n)
+    B = rng.standard_normal((P, n, k))
+    X, T = fused_spd_multirhs(jnp.asarray(A), jnp.asarray(B), nb=nb, bs=bs)
+    X_ref = np.stack([np.linalg.solve(A[i], B[i]) for i in range(P)])
+    L = np.linalg.cholesky(A)
+    Y = np.stack([np.linalg.solve(L[i], B[i]) for i in range(P)])
+    T_ref = np.einsum("bik,bij->bkj", Y, Y)
+    assert np.abs(np.asarray(X) - X_ref).max() < 1e-8 * np.abs(X_ref).max()
+    assert np.abs(np.asarray(T) - T_ref).max() < 1e-8 * np.abs(T_ref).max()
+
+
+def test_fused_pipeline_matches_lax_path():
+    """The fused uniform chunk kernel must reproduce the lax path's basis
+    canvases (interpret mode on CPU, float64)."""
+    from dealii_slod_tpu.config import SLODConfig
+    from dealii_slod_tpu.models import DiffusionProblem, LODSolver
+
+    kw = dict(dim=2, n_global_refinements=3, n_subdivisions=2,
+              oversampling=2, lod_stabilization=True,
+              constant_coefficients=False, coef_seed=3, rhs="1", bc="0",
+              dtype="float64", write_output=False)
+    a = LODSolver(SLODConfig(**kw, patch_solver="lax"),
+                  DiffusionProblem(SLODConfig(**kw)), verbose=False)
+    b = LODSolver(SLODConfig(**kw, patch_solver="fused"),
+                  DiffusionProblem(SLODConfig(**kw)), verbose=False)
+    Pa, Aa = a.compute_basis()
+    Pb, Ab = b.compute_basis()
+    # the two paths compute T as PT^T(A^-1 PT) vs Y^T Y — equal in exact
+    # arithmetic; f64 roundoff is amplified ~1e7 by the SLOD spectral
+    # pseudo-inverse conditioning, so agreement is ~1e-8, not 1e-15
+    np.testing.assert_allclose(np.asarray(Pa), np.asarray(Pb), atol=3e-7)
+    np.testing.assert_allclose(np.asarray(Aa), np.asarray(Ab), atol=3e-7)
