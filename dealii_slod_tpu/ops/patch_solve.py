@@ -62,8 +62,7 @@ def _invert_lower(L, nb):
         lrow = jnp.sum(jnp.where(rows == k, L, 0.0), axis=1)   # (bs, nb)
         lkk = jnp.sum(jnp.where(c1 == k, lrow, 0.0), axis=1)   # (bs,)
         lo = jnp.where(c1 < k, lrow, 0.0)
-        acc = jnp.einsum("bj,bjc->bc", lo, E,
-                         preferred_element_type=E.dtype)
+        acc = jnp.sum(lo[:, :, None] * E, axis=1)   # VPU row-matvec
         ek = (c1 == k).astype(E.dtype)
         r = (ek - acc) / lkk[:, None]
         return jnp.where(rows == k, r[:, None, :], E)
@@ -71,24 +70,28 @@ def _invert_lower(L, nb):
     return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(L))
 
 
+# Mosaic's dot lowering takes 2D operands only (no batch dims): the small
+# static batch is unrolled into per-element MXU dots.
+
+def _bdot(a, b, dims):
+    return jnp.stack([
+        jax.lax.dot_general(a[i], b[i], (dims, ((), ())),
+                            preferred_element_type=a.dtype)
+        for i in range(a.shape[0])])
+
+
 def _mm(a, b):
-    return jax.lax.dot_general(
-        a, b, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=a.dtype)
+    return _bdot(a, b, ((1,), (0,)))
 
 
 def _mmT(a, b):
     """a @ b^T, batched."""
-    return jax.lax.dot_general(
-        a, b, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=a.dtype)
+    return _bdot(a, b, ((1,), (1,)))
 
 
 def _mTm(a, b):
     """a^T @ b, batched."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=a.dtype)
+    return _bdot(a, b, ((0,), (0,)))
 
 
 def _fused_kernel(nb, n_blocks, a_in, b_in, a_ref, b_ref, x_ref, y_ref,

@@ -18,3 +18,12 @@ import jax  # noqa: E402
 # by a pytest plugin before this conftest ran
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent XLA compile cache: the suite is compile-dominated on CPU (one
+# fat SLOD kernel per distinct config); repeat runs skip all of it
+_cache = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_cpu")
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass

@@ -95,6 +95,7 @@ def test_lod_error_decays_exponentially_in_oversampling():
     errs = []
     for ell in (1, 2, 3):
         sol = make_solver(n_global_refinements=3, oversampling=ell,
+                          solve_fine_problem=False,
                           rhs="2*pi^2*sin(pi*x)*sin(pi*y)",
                           exact_solution="sin(pi*x)*sin(pi*y)")
         res = sol.run()
@@ -106,13 +107,13 @@ def test_lod_error_decays_exponentially_in_oversampling():
 def test_ideal_lod_matches_fem_accuracy():
     """With full-domain patches (l >= N) the basis is the ideal LOD basis and
     the Galerkin solution must reach fine-FEM accuracy."""
-    sol = make_solver(n_global_refinements=3, oversampling=8,
+    sol = make_solver(n_global_refinements=2, oversampling=4,
                       rhs="2*pi^2*sin(pi*x)*sin(pi*y)",
                       exact_solution="sin(pi*x)*sin(pi*y)")
     res = sol.run()
     err = res["error_LOD_exact"].rows[0][2]["L2"]
     fem_err = res["error_FEMh_exact"].rows[0][2]["L2"]
-    assert fem_err < 2e-3
+    assert fem_err < 8e-3
     assert err < 1.5 * fem_err + 1e-4, (err, fem_err)
 
 
