@@ -220,9 +220,11 @@ class SLODConfig:
                                       # + forward/backward solve + triple
                                       # product, ops/patch_solve.py),
                                       # "auto" = fused on TPU float32
-    fused_block: int = 2              # patches per fused-kernel instance
-                                      # (VMEM ~ 2.4 MB * fused_block for the
-                                      # 3D l=2 patch matrix)
+    fused_block: int = 1              # patches per fused-kernel instance
+                                      # (VMEM budget: ~5 buffers of
+                                      # fused_block * n^2 * 4 B each incl.
+                                      # pipeline double-buffering; bs=2
+                                      # exceeds the 16 MB VMEM at n=768)
     coef_windows: bool = True         # structured window extraction for the
                                       # per-patch coefficient rows (vs the
                                       # (P, n_sub) gather); auto-disabled

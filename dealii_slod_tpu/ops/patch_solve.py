@@ -10,17 +10,22 @@ the patch matrix:
 
     L L^T = A,    Y = L^-1 B,    X = A^-1 B = L^-T Y,    T = Y^T Y
 
-per batch element, with
+with
 
 - the diagonal-block factor as an in-register masked right-looking loop
-  (the unavoidable length-n dependency chain, but at VMEM latencies, with
-  the batch dimension amortizing per-step overhead),
+  (the unavoidable length-n dependency chain, but at VMEM latencies; the
+  symmetric trailing block supplies the row vector so no per-step
+  transposes are needed),
 - an explicit inverse of each diagonal block (forward substitution on I)
   so every panel/Schur/RHS update is an MXU matmul instead of a TRSM,
 - Schur complements, panel solves and both triangular multi-RHS solves as
-  static-sliced MXU matmuls on refs (in-place, no full-matrix copies).
+  static-sliced 2D MXU matmuls on refs (in-place, no full-matrix copies).
 
-Shapes: A (B, n, n) SPD, Bmat (B, n, k) -> X, Y (B, n, k), T (B, k, k).
+Everything inside the kernel is strictly 2D (Mosaic lowers neither batched
+dots nor 1D intermediates); the small per-instance batch is a static
+Python loop over ref slices.
+
+Shapes: A (B, n, n) SPD, Bmat (B, n, k) -> X (B, n, k), T (B, k, k).
 n and k are padded to multiples of the block size internally (identity
 diagonal / zero right-hand sides, so padded outputs are exactly zero).
 """
@@ -34,114 +39,112 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _dot(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=a.dtype,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _mm(a, b):
+    return _dot(a, b, ((1,), (0,)))
+
+
+def _mmT(a, b):
+    return _dot(a, b, ((1,), (1,)))
+
+
+def _mTm(a, b):
+    return _dot(a, b, ((0,), (0,)))
+
+
 def _factor_block(D, nb):
-    """Masked right-looking Cholesky of (bs, nb, nb) SPD blocks."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, D.shape, 2)
-    r1 = jax.lax.broadcasted_iota(jnp.int32, D.shape[:2], 1)
+    """Masked right-looking Cholesky of one (nb, nb) SPD block.
+
+    Uses the symmetry of the trailing submatrix to read both the column
+    (nb, 1) and the row (1, nb) form of the pivot axis — the rank-1 Schur
+    update is then a broadcast product, no transpose."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 1)
+    r_col = jax.lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+    c_row = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
 
     def step(k, D):
-        colk = jnp.sum(jnp.where(cols == k, D, 0.0), axis=2)   # (bs, nb)
-        dkk = jnp.sum(jnp.where(r1 == k, colk, 0.0), axis=1)   # (bs,)
+        colk = jnp.sum(jnp.where(cols == k, D, 0.0), axis=1, keepdims=True)
+        rowk = jnp.sum(jnp.where(rows == k, D, 0.0), axis=0, keepdims=True)
+        dkk = jnp.sum(jnp.where(r_col == k, colk, 0.0), axis=0,
+                      keepdims=True)                       # (1, 1)
         inv_s = jax.lax.rsqrt(jnp.maximum(dkk, 1e-30))
-        l = jnp.where(r1 >= k, colk * inv_s[:, None], 0.0)     # col k of L
-        lgt = jnp.where(r1 > k, l, 0.0)
-        D = D - lgt[:, :, None] * lgt[:, None, :]
-        return jnp.where(cols == k, l[:, :, None], D)
+        lcol = jnp.where(r_col >= k, colk * inv_s, 0.0)    # (nb, 1)
+        lcol_gt = jnp.where(r_col > k, lcol, 0.0)
+        lrow_gt = jnp.where(c_row > k, rowk * inv_s, 0.0)  # (1, nb)
+        D = D - lcol_gt * lrow_gt
+        return jnp.where(cols == k, lcol, D)
 
     return jax.lax.fori_loop(0, nb, step, D)
 
 
 def _invert_lower(L, nb):
-    """Explicit inverse of (bs, nb, nb) lower-triangular blocks by forward
+    """Explicit inverse of one (nb, nb) lower-triangular block by forward
     substitution on the identity (row-by-row masked loop)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, L.shape, 1)
-    c1 = jax.lax.broadcasted_iota(jnp.int32, L.shape[:2], 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (nb, nb), 0)
+    c_row = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
 
     def step(k, E):
-        lrow = jnp.sum(jnp.where(rows == k, L, 0.0), axis=1)   # (bs, nb)
-        lkk = jnp.sum(jnp.where(c1 == k, lrow, 0.0), axis=1)   # (bs,)
-        lo = jnp.where(c1 < k, lrow, 0.0)
-        acc = jnp.sum(lo[:, :, None] * E, axis=1)   # VPU row-matvec
-        ek = (c1 == k).astype(E.dtype)
-        r = (ek - acc) / lkk[:, None]
-        return jnp.where(rows == k, r[:, None, :], E)
+        lrow = jnp.sum(jnp.where(rows == k, L, 0.0), axis=0, keepdims=True)
+        lkk = jnp.sum(jnp.where(c_row == k, lrow, 0.0), axis=1,
+                      keepdims=True)                       # (1, 1)
+        lo = jnp.where(c_row < k, lrow, 0.0)               # (1, nb)
+        acc = _mm(lo, E)                                   # (1, nb)
+        ek = (c_row == k).astype(E.dtype)
+        r = (ek - acc) / lkk
+        return jnp.where(rows == k, r, E)
 
     return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(L))
 
 
-# Mosaic's dot lowering takes 2D operands only (no batch dims): the small
-# static batch is unrolled into per-element MXU dots.
-
-def _bdot(a, b, dims):
-    return jnp.stack([
-        jax.lax.dot_general(a[i], b[i], (dims, ((), ())),
-                            preferred_element_type=a.dtype)
-        for i in range(a.shape[0])])
-
-
-def _mm(a, b):
-    return _bdot(a, b, ((1,), (0,)))
-
-
-def _mmT(a, b):
-    """a @ b^T, batched."""
-    return _bdot(a, b, ((1,), (1,)))
-
-
-def _mTm(a, b):
-    """a^T @ b, batched."""
-    return _bdot(a, b, ((0,), (0,)))
-
-
-def _fused_kernel(nb, n_blocks, a_in, b_in, a_ref, b_ref, x_ref, y_ref,
+def _fused_kernel(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, x_ref, y_ref,
                   t_ref, e_ref):
-    """a_in/b_in are aliased with the a_ref/b_ref outputs (same VMEM buffer;
-    only the out refs are touched).  a_ref (bs, n, n) in/out (becomes L),
-    b_ref (bs, n, k) in/out (consumed), x_ref = A^-1 B, y_ref = L^-1 B,
-    t_ref = Y^T Y; e_ref scratch holds the per-block inverses
-    (bs, n_blocks*nb, nb)."""
+    """a_in/b_in are aliased with the a_ref/b_ref outputs (same VMEM
+    buffers; only the out refs are touched).  Per batch element:
+    a_ref (n, n) becomes L, b_ref (n, k) is consumed, x_ref = A^-1 B,
+    y_ref = L^-1 B, t_ref = Y^T Y; e_ref scratch holds the per-block
+    inverses (n, nb)."""
     del a_in, b_in
     n = nb * n_blocks
 
-    # ---- factor + forward solve (right-looking over static blocks) ----
-    for j in range(n_blocks):
-        j0, j1 = j * nb, (j + 1) * nb
-        D = _factor_block(a_ref[:, j0:j1, j0:j1], nb)
-        a_ref[:, j0:j1, j0:j1] = D
-        E = _invert_lower(D, nb)
-        e_ref[:, j0:j1, :] = E
-        # forward solve on the RHS block: Y_j = E @ B_j
-        Yj = _mm(E, b_ref[:, j0:j1, :])
-        y_ref[:, j0:j1, :] = Yj
-        if j + 1 < n_blocks:
-            # panel: L21 = A21 @ E^T   (trailing rows)
-            L21 = _mmT(a_ref[:, j1:n, j0:j1], E)
-            a_ref[:, j1:n, j0:j1] = L21
-            # Schur: A22 -= L21 @ L21^T
-            a_ref[:, j1:n, j1:n] = (a_ref[:, j1:n, j1:n]
-                                    - _mmT(L21, L21))
-            # RHS update: B2 -= L21 @ Y_j
-            b_ref[:, j1:n, :] = b_ref[:, j1:n, :] - _mm(L21, Yj)
+    for i in range(bs):
+        # ---- factor + forward solve (right-looking, static blocks) ----
+        for j in range(n_blocks):
+            j0, j1 = j * nb, (j + 1) * nb
+            D = _factor_block(a_ref[i, j0:j1, j0:j1], nb)
+            a_ref[i, j0:j1, j0:j1] = D
+            E = _invert_lower(D, nb)
+            e_ref[i, j0:j1, :] = E
+            Yj = _mm(E, b_ref[i, j0:j1, :])                # forward block
+            y_ref[i, j0:j1, :] = Yj
+            if j + 1 < n_blocks:
+                L21 = _mmT(a_ref[i, j1:n, j0:j1], E)       # panel
+                a_ref[i, j1:n, j0:j1] = L21
+                a_ref[i, j1:n, j1:n] = (a_ref[i, j1:n, j1:n]
+                                        - _mmT(L21, L21))  # Schur
+                b_ref[i, j1:n, :] = b_ref[i, j1:n, :] - _mm(L21, Yj)
 
-    # ---- backward solve: X = L^-T Y ----
-    for j in range(n_blocks - 1, -1, -1):
-        j0, j1 = j * nb, (j + 1) * nb
-        R = y_ref[:, j0:j1, :]
-        if j + 1 < n_blocks:
-            # R -= L[i>j, j]^T X[i>j]
-            R = R - _mTm(a_ref[:, j1:n, j0:j1], x_ref[:, j1:n, :])
-        Ej = e_ref[:, j0:j1, :]
-        x_ref[:, j0:j1, :] = _mTm(Ej, R)
+        # ---- backward solve: X = L^-T Y ----
+        for j in range(n_blocks - 1, -1, -1):
+            j0, j1 = j * nb, (j + 1) * nb
+            R = y_ref[i, j0:j1, :]
+            if j + 1 < n_blocks:
+                R = R - _mTm(a_ref[i, j1:n, j0:j1], x_ref[i, j1:n, :])
+            x_ref[i, j0:j1, :] = _mTm(e_ref[i, j0:j1, :], R)
 
-    # ---- triple product: T = Y^T Y ----
-    acc = None
-    for j in range(n_blocks):
-        j0, j1 = j * nb, (j + 1) * nb
-        Yj = y_ref[:, j0:j1, :]
-        c = _mTm(Yj, Yj)
-        acc = c if acc is None else acc + c
-    t_ref[:] = acc
+        # ---- triple product: T = Y^T Y ----
+        acc = None
+        for j in range(n_blocks):
+            j0, j1 = j * nb, (j + 1) * nb
+            Yj = y_ref[i, j0:j1, :]
+            c = _mTm(Yj, Yj)
+            acc = c if acc is None else acc + c
+        t_ref[i] = acc
 
 
 @partial(jax.jit, static_argnames=("nb", "bs", "interpret"))
@@ -151,8 +154,9 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
 
     A (P, n, n) SPD, B (P, n, k) -> (X = A^-1 B (P, n, k), T = Y^T Y (P, k, k))
 
-    ``bs``: patches per kernel instance (VMEM residency is ~(bs * n^2 * 4) B
-    for the matrix; keep bs * n^2 * 4 well under the ~16 MB VMEM).
+    ``bs``: patches per kernel instance.  VMEM holds ~5 n^2-to-n*k sized
+    buffers per instance (matrix in/out aliased + RHS + X + Y + scratch,
+    double-buffered by the pipeline) — bs=1 fits the 16 MB VMEM at n=768.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -169,16 +173,14 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     Ap = jnp.zeros((Pp, n, n), dt)
     Ap = Ap.at[:P, :n0, :n0].set(A)
     if n != n0 or Pp != P:
-        # unit diagonal on padded rows keeps the factor well-defined
+        # unit diagonal on padded rows/batches keeps the factor defined
         pad_diag = jnp.arange(n) >= n0
         eye_pad = jnp.where(pad_diag, 1.0, 0.0).astype(dt)
         Ap = Ap + jnp.diag(eye_pad)[None, :, :]
         if Pp != P:
-            # padded batch entries: identity matrices
-            full_eye = jnp.eye(n, dtype=dt)
-            Ap = Ap.at[P:].add(
-                jnp.where(jnp.arange(n) < n0, 1.0, 0.0).astype(dt)
-                * full_eye[None])
+            lead_eye = jnp.diag(
+                jnp.where(jnp.arange(n) < n0, 1.0, 0.0).astype(dt))
+            Ap = Ap.at[P:].add(lead_eye[None])
     Bp = jnp.zeros((Pp, n, k), dt).at[:P, :n0, :k0].set(B)
 
     if interpret is None:
@@ -190,7 +192,7 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     t_spec = pl.BlockSpec((bs, k, k), lambda i: (i, 0, 0))
 
     _, _, X, Y, T = pl.pallas_call(
-        partial(_fused_kernel, nb, n_blocks),
+        partial(_fused_kernel, nb, n_blocks, bs),
         grid=grid,
         in_specs=[mat_spec, rhs_spec],
         out_specs=(mat_spec, rhs_spec, rhs_spec, rhs_spec, t_spec),
