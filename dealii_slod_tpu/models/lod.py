@@ -930,10 +930,50 @@ class LODSolver:
                 = A_st[q, k]
         L = cholesky_factor(jnp.asarray(A_dense, self.dtype))
 
+        def coarse_solve(rc):
+            return cholesky_solve(L, rc.reshape(-1, 1))[:, 0].reshape(P, C)
+
+        return self._two_level_from(coarse_solve, diag)
+
+    def _two_level_precond_stencil(self, diag):
+        """Cap-free variant of `_two_level_precond`: the coarse correction
+        is a fixed-degree Chebyshev polynomial of the STENCIL operator —
+        linear and SPD (a valid PCG preconditioner, unlike truncated inner
+        CG), with no densification, so it scales to any patch count."""
+        P, C = self.topo.n_patches, self.C
+        A_st = self.A_stencil
+        # spectral bounds: lambda_max by Gershgorin row sums (cheap, safe
+        # upper bound); lambda_min heuristic at lambda_max / 30 — a loose
+        # lower bound only softens the polynomial, it stays SPD
+        lmax = float(jnp.max(jnp.sum(jnp.abs(A_st), axis=(1, 3))))
+        lmin = lmax / 30.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        degree = 16
+
+        def coarse_solve(rc):
+            # standard Chebyshev iteration for A y = rc on [lmin, lmax]
+            mv = lambda v: self._coarse_matvec_with(A_st, v)
+            y = rc / theta
+            d = y
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            for _ in range(degree - 1):
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                d = rho_new * (2.0 / delta * (rc - mv(y)) + rho * d)
+                y = y + d
+                rho = rho_new
+            return y
+
+        return self._two_level_from(coarse_solve, diag)
+
+    def _two_level_from(self, coarse_solve, diag):
+        P, C = self.topo.n_patches, self.C
+
         def precond(r):
             rc = jnp.einsum("pncd,pnc->pd", self.Phi,
                             r[self.canvas_gidx])              # C^T r
-            y = cholesky_solve(L, rc.reshape(-1, 1))[:, 0].reshape(P, C)
+            y = coarse_solve(rc)
             vals = jnp.einsum("pncd,pd->pnc", self.Phi, y)    # C y
             coarse = jnp.zeros_like(r).at[self.canvas_gidx].add(vals)
             coarse = jnp.where(self.fine_bnd[:, None], 0.0, coarse)
@@ -950,9 +990,13 @@ class LODSolver:
                           dirichlet_mask=self.fine_bnd)
         d = op.diagonal()
         if (self.cfg.fine_preconditioner == "two_level"
-                and hasattr(self, "A_stencil")
-                and self.topo.n_patches * self.C <= 32768):
-            precond = self._two_level_precond(d)
+                and hasattr(self, "A_stencil")):
+            # direct coarse factor while it is small; stencil-form
+            # Chebyshev correction beyond (no densification cap)
+            if self.topo.n_patches * self.C <= 32768:
+                precond = self._two_level_precond(d)
+            else:
+                precond = self._two_level_precond_stencil(d)
         else:
             precond = lambda r: r / d
         rc = self.cfg.fine_solver

@@ -1,0 +1,49 @@
+"""f32-TPU vs f64-CPU accuracy of the end-to-end step (VERDICT r1 #5).
+
+Runs the same config twice — float32 on the default backend and float64 on
+CPU — and prints relative errors of the coarse solution, stencil operator
+and basis canvases.  Usage: python scripts/accuracy.py [refine] [ell]
+"""
+import os, sys
+import numpy as np
+
+refine = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+ell = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+def run(dtype, force_cpu):
+    import subprocess, json, textwrap
+    code = f"""
+import jax, json
+import numpy as np
+if {force_cpu}:
+    jax.config.update("jax_platforms", "cpu")
+if "{dtype}" == "float64":
+    jax.config.update("jax_enable_x64", True)
+import sys; sys.path.insert(0, {os.getcwd()!r})
+from dealii_slod_tpu.config import ReductionControl, SLODConfig
+from dealii_slod_tpu.models import DiffusionProblem, LODSolver
+cfg = SLODConfig(dim=3, n_global_refinements={refine}, n_subdivisions=2,
+                 oversampling={ell}, lod_stabilization=True,
+                 constant_coefficients=False, coef_seed=0, coef_refinement=5,
+                 rhs="1", bc="0", dtype="{dtype}", patch_chunk=256,
+                 solve_fine_problem=False,
+                 coarse_solver=ReductionControl(1000, 1e-12, 1e-10))
+s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+s.compute_basis(); s.assemble_coarse_operator(); s.assemble_fine_rhs()
+u = s.solve_coarse()
+np.save("/tmp/acc_{dtype}.npy", np.asarray(u, np.float64))
+np.save("/tmp/acc_A_{dtype}.npy", np.asarray(s.A_stencil, np.float64))
+np.save("/tmp/acc_P_{dtype}.npy", np.asarray(s.Phi, np.float64))
+print("done {dtype}")
+"""
+    subprocess.run([sys.executable, "-c", code], check=True, cwd=os.getcwd())
+
+run("float32", False)
+run("float64", True)
+u32 = np.load("/tmp/acc_float32.npy"); u64 = np.load("/tmp/acc_float64.npy")
+A32 = np.load("/tmp/acc_A_float32.npy"); A64 = np.load("/tmp/acc_A_float64.npy")
+P32 = np.load("/tmp/acc_P_float32.npy"); P64 = np.load("/tmp/acc_P_float64.npy")
+rel = lambda a, b: float(np.abs(a - b).max() / np.abs(b).max())
+print(f"coarse solution rel err : {rel(u32, u64):.3e}")
+print(f"stencil operator rel err: {rel(A32, A64):.3e}")
+print(f"basis canvas rel err    : {rel(P32, P64):.3e}")

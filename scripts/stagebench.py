@@ -36,6 +36,8 @@ def t(name, f, *a):
     return best
 
 stages = sys.argv[1:] or ["coef", "kernel", "stencil", "cg"]
+solver.cfg.eig_tol = float(os.environ.get("BENCH_EIG_TOL", 1e-10))
+solver.cfg.eig_sweeps = int(os.environ.get("BENCH_EIG_SWEEPS", 10))
 gsub, nlo, nhi, sides = solver._uniform_inputs()
 
 if "coef" in stages:
@@ -45,15 +47,48 @@ if "coef" in stages:
     t("coef windows (conv patches)", solver._coef_windows, coef)
 
 if "kernel" in stages:
-    fn = solver._uniform_patch_fn()
-    vfn = jax.vmap(fn, in_axes=([0], 0, 0, 0))
+    cfn = solver._uniform_chunk_fn()
     cw = np.asarray(solver._coef_windows(solver.coef_q["alpha"]))
     cl = jnp.asarray(cw[:chunk])
     args = (jnp.asarray(nlo[:chunk]), jnp.asarray(nhi[:chunk]),
             jnp.asarray(sides[:chunk]))
     with jax.default_matmul_precision(cfg.matmul_precision):
-        w = t("uniform kernel chunk=256", lambda c, *a: vfn([c], *a), cl, *args)
-    print(f"   -> all patches: {w*P/chunk:.3f} s")
+        w = t(f"uniform chunk kernel ({cfg.patch_solver})",
+              lambda c, *a: cfn([c], *a), cl, *args)
+    print(f"   -> all patches: {w*P/chunk:.3f} s", flush=True)
+
+if "fused" in stages:
+    from dealii_slod_tpu.ops.patch_solve import fused_spd_multirhs
+    prep, _, _ = solver._uniform_core()
+    vprep = jax.vmap(prep, in_axes=([0], 0, 0))
+    cw = np.asarray(solver._coef_windows(solver.coef_q["alpha"]))
+    cl = jnp.asarray(cw[:chunk])
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        _, A_solve, PT_m, _ = jax.jit(
+            lambda c, lo, hi: vprep([c], lo, hi))(
+            cl, jnp.asarray(nlo[:chunk]), jnp.asarray(nhi[:chunk]))
+        A_solve = jax.block_until_ready(A_solve)
+        w = t("fused spd multirhs chunk", fused_spd_multirhs, A_solve, PT_m)
+        print(f"   -> all patches: {w*P/chunk:.3f} s", flush=True)
+        w = t("prep (assembly+masks) chunk",
+              lambda c, lo, hi: vprep([c], lo, hi),
+              cl, jnp.asarray(nlo[:chunk]), jnp.asarray(nhi[:chunk]))
+        print(f"   -> all patches: {w*P/chunk:.3f} s", flush=True)
+
+if "eig" in stages:
+    from dealii_slod_tpu.ops.eig import jacobi_eigh_pallas
+    rng = np.random.default_rng(0)
+    cD = (2 * cfg.oversampling + 1) ** dim
+    M = rng.standard_normal((chunk, cD, cD)).astype(np.float32)
+    G = jnp.asarray(np.einsum("bik,bjk->bij", M, M))
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        w = t("jacobi adaptive (tol,maxsweeps)",
+              lambda g: jacobi_eigh_pallas(g, sweeps=solver.cfg.eig_sweeps,
+                                           tol=solver.cfg.eig_tol), G)
+        print(f"   -> all patches: {w*P/chunk:.3f} s", flush=True)
+        w = t("jacobi fixed 6",
+              lambda g: jacobi_eigh_pallas(g, sweeps=6, tol=0.0), G)
+        print(f"   -> all patches: {w*P/chunk:.3f} s", flush=True)
 
 if "stencil" in stages:
     # build canvases once (host path)
@@ -61,8 +96,6 @@ if "stencil" in stages:
     Phi, APhi = solver.Phi, solver.APhi
     with jax.default_matmul_precision(cfg.matmul_precision):
         t("stencil build (cells+separable)", solver._stencil_build_cells, Phi, APhi)
-        t("stencil build (roll)", solver._stencil_build_roll, Phi, APhi)
-    solver.assemble_coarse_operator()
 
 if "cg" in stages:
     if not hasattr(solver, "A_stencil"):

@@ -70,3 +70,39 @@ def test_channel_field_config_wiring():
     sol = LODSolver(cfg, prob, verbose=False)
     res = sol.run()
     assert np.isfinite(np.asarray(res["lod_solution"])).all()
+
+
+def test_two_level_stencil_variant_matches_dense():
+    """The cap-free Chebyshev coarse correction must accelerate the fine CG
+    like the dense-factor variant (same preconditioner role, no 32768-dof
+    densification)."""
+    import jax.numpy as jnp
+    from dealii_slod_tpu.config import SLODConfig
+    from dealii_slod_tpu.models import DiffusionProblem, LODSolver
+
+    kw = dict(dim=2, n_global_refinements=3, n_subdivisions=2,
+              oversampling=2, lod_stabilization=True,
+              constant_coefficients=False, coef_seed=9, rhs="1", bc="0",
+              fine_preconditioner="two_level", write_output=False)
+    cfg = SLODConfig(**kw)
+    s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+    s.compute_basis(); s.assemble_coarse_operator(); s.assemble_fine_rhs()
+    d = np.ones_like(np.asarray(s.fem_rhs))
+    import jax
+    diag = jnp.asarray(d)
+    p_dense = s._two_level_precond(diag)
+    p_sten = s._two_level_precond_stencil(diag)
+    r = s.fem_rhs
+    a = np.asarray(p_dense(r))
+    b = np.asarray(p_sten(r))
+    # Chebyshev(16) approximates the exact coarse solve to a few percent —
+    # enough for preconditioning equivalence
+    assert np.abs(a - b).max() < 0.1 * np.abs(a).max()
+    # and the stencil variant actually accelerates the fine solve
+    u1 = s.solve_fine_fem()
+    it_two = int(s.fine_cg.n_iter)
+    cfg2 = SLODConfig(**{**kw, "fine_preconditioner": "jacobi"})
+    s2 = LODSolver(cfg2, DiffusionProblem(cfg2), verbose=False)
+    s2.compute_basis(); s2.assemble_coarse_operator(); s2.assemble_fine_rhs()
+    s2.solve_fine_fem()
+    assert it_two < int(s2.fine_cg.n_iter)
