@@ -63,6 +63,11 @@ def cartesian_coords(dims: np.ndarray) -> np.ndarray:
     return unravel(np.arange(int(np.prod(dims))), dims)
 
 
+def rev_dims(dims) -> tuple:
+    """Spatial dims in array-axis order (axis 0 fastest => last array axis)."""
+    return tuple(int(d) for d in np.asarray(dims)[::-1])
+
+
 @dataclasses.dataclass(frozen=True)
 class GridSpec:
     """Uniform grid of the unit hypercube [0,1]^dim.

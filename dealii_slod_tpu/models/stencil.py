@@ -1,0 +1,228 @@
+"""Stencil-form coarse operator (replaces the reference's sparse Tmmult).
+
+``A_LOD[(q,dq),(p,dp)] = phi_q . (A phi_p)`` (reference
+``assemble_global_matrix``, source/LOD.cc:860-973) over basis canvases: each
+basis function lives on a fixed-size canvas grid, so the coarse operator is
+a batch of static-slice dot products over canvas overlaps — a (P, S, C, C)
+stencil, no sparse matrices anywhere.  The stencil matvec drives the coarse
+CG and the two-level fine preconditioner.
+
+``StencilOps`` is a mixin consumed by :class:`models.lod.LODSolver`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dealii_slod_tpu.grid import cartesian_coords, ravel
+from dealii_slod_tpu.grid import rev_dims as _rev
+
+
+class StencilOps:
+    """Coarse-operator methods of the LOD solver (mixin)."""
+
+    # ------------------------------------------------------------------
+    # Coarse operator in stencil form (reference assemble_global_matrix)
+    # ------------------------------------------------------------------
+
+    def assemble_coarse_operator(self):
+        """A_LOD[(q,dq),(p,dp)] = phi_q . (A phi_p) as a stencil
+        (P, S, C, C) over relative window offsets (replaces the Trilinos
+        Tmmult triple product, reference LOD.cc:970-972)."""
+        self.A_stencil = jax.jit(self._stencil_build)(self.Phi, self.APhi)
+        return self.A_stencil
+
+    def _stencil_build(self, Phi, APhi):
+        """Pure function: canvases -> stencil blocks (P, S, C, C).
+
+        Dispatches to the cell-decomposed build (fast path) unless its
+        (E, K, K, C, C) intermediate would be too large, in which case the
+        offset-loop roll build is used."""
+        K = (2 * self.cfg.oversampling + 1) ** self.cfg.dim
+        K2 = (2 * self.cfg.oversampling + 2) ** self.cfg.dim
+        t_bytes = (self.topo.n_patches * K * K2 * self.C * self.C
+                   * (8 if self.dtype == jnp.float64 else 4))
+        if t_bytes <= (1 << 30):
+            return self._stencil_build_cells(Phi, APhi)
+        return self._stencil_build_roll(Phi, APhi)
+
+    def _stencil_build_roll(self, Phi, APhi):
+        """Offset-loop stencil build:
+        A_st[q, k] = sum_n phi_q[n] . Aphi_{q+delta_k}[n - delta_k*s],
+        one ``lax.map`` body over the stencil offsets with the shift realized
+        as roll + boundary mask."""
+        cfg, C = self.cfg, self.C
+        s = cfg.n_subdivisions
+        Gd = self.canvas_dims
+        canvas_grid = _rev(Gd)
+        P = self.topo.n_patches
+        Phi_f = Phi.reshape((P, self.canvas_n, C, C))
+        APhi_g = APhi.reshape((P,) + canvas_grid + (C, C))
+        t_rev = jnp.asarray(
+            (self.stencil_offsets * s)[:, ::-1].astype(np.int32))  # (S, dim)
+        iotas = [jnp.arange(int(Gd[cfg.dim - 1 - a])) for a in range(cfg.dim)]
+
+        def body(k):
+            # Aphi_p shifted by t with zero fill, realized as roll + mask on
+            # the RAW canvas (gathering a zero-padded canvas per offset costs
+            # (1+2R s/G)^dim times more HBM traffic — 15x in 3D at l=2)
+            ap = APhi_g[self.stencil_nbr[:, k]]          # (P, grid.., C, C)
+            mask = jnp.ones((), Phi.dtype)
+            for a in range(cfg.dim):                     # grid axis a
+                t = t_rev[k, a]
+                ap = jnp.roll(ap, t, axis=1 + a)
+                Ga = ap.shape[1 + a]
+                m = ((iotas[a] >= t) & (iotas[a] < Ga + t)).astype(Phi.dtype)
+                shape = [1] * (cfg.dim + 3)
+                shape[1 + a] = Ga
+                mask = mask * m.reshape(shape)
+            sl = ap * mask
+            blk = jnp.einsum("bncd,bnce->bde", Phi_f,
+                             sl.reshape(P, self.canvas_n, C, C))
+            return blk * self.stencil_valid[:, k, None, None]
+
+        A_st = jax.lax.map(body, jnp.arange(self.n_stencil))
+        return jnp.moveaxis(A_st, 0, 1)                  # (P, S, C, C)
+
+    def _cell_tables(self):
+        """Static tables for the cell-decomposed stencil build.
+
+        Every global fine node is *owned* by exactly one coarse cell
+        (own(g) = clip(g // s, 0, N-1) per axis), so
+        ``A_LOD[q,p] = sum_e sum_{g owned by e} phi_q(g) Aphi_p(g)`` —
+        a per-cell contraction over window-slot pairs instead of a loop
+        over stencil offsets."""
+        if hasattr(self, "_cell_tab"):
+            return self._cell_tab
+        cfg, g = self.cfg, self.grid
+        ell, s, N, dim = cfg.oversampling, cfg.n_subdivisions, cfg.n_coarse, cfg.dim
+        K = (2 * ell + 1) ** dim
+        ks = cartesian_coords(np.full(dim, 2 * ell + 1))        # (K, dim)
+        # phi vanishes on (and outside) its window edge, so every node with
+        # phi_q != 0 is owned by a cell of q's window: K slots suffice for
+        # the phi table.  Aphi is nonzero on the window edge, whose TOP-face
+        # nodes are owned by the cell one slot beyond the canvas — the Aphi
+        # table therefore uses the extended (2l+2)-slot grid, with the
+        # out-of-canvas node layers masked.
+        K2 = (2 * ell + 2) ** dim
+        ks2 = cartesian_coords(np.full(dim, 2 * ell + 2))       # (K2, dim)
+        oo = cartesian_coords(np.full(dim, s + 1))              # (O, dim)
+        O = len(oo)
+        cells = cartesian_coords(g.cell_dims)                   # (E, dim)
+
+        def patch_table(slots):
+            pco = cells[:, None, :] + ell - slots[None, :, :]
+            pvalid = ((pco >= 0) & (pco < N)).all(-1)
+            p_idx = ravel(np.clip(pco, 0, N - 1), g.cell_dims)
+            node_co = slots[:, None, :] * s + oo[None, :, :]    # (Kx, O, dim)
+            in_canvas = (node_co <= (2 * ell + 1) * s).all(-1)  # (Kx, O)
+            cnode = ravel(np.minimum(node_co, (2 * ell + 1) * s),
+                          self.canvas_dims)
+            # NOTE: keep NumPy (no jnp.asarray): this cache may be built
+            # while tracing, and device constants created inside a trace
+            # are tracers that must not leak into later traces
+            return (p_idx.astype(np.int32), pvalid,
+                    cnode.astype(np.int32), in_canvas)
+
+        p_idx1, pvalid1, cnode1, incv1 = patch_table(ks)
+        p_idx2, pvalid2, cnode2, incv2 = patch_table(ks2)
+        # cell seen by patch q at slot k1: e = q + ks[k1] - l
+        eco = cells[:, None, :] + ks[None, :, :] - ell
+        evalid = ((eco >= 0) & (eco < N)).all(-1)
+        e_idx = ravel(np.clip(eco, 0, N - 1), g.cell_dims)
+        # ownership: offset o belongs to cell e iff o < s per axis, except at
+        # the domain top face where the cell also owns its o == s layer
+        top = cells == N - 1                                     # (E, dim)
+        own = np.logical_or(oo[None, :, :] < s, top[:, None, :]).all(-1)
+        own = own[:, None, :]                                    # (E, 1, O)
+        # slot (in the extended grid) of the neighbor p = q + delta covering
+        # the same cell: e = q + ks[k1] - l = p + ks2[k2] - l => k2 = k1 - d
+        k2map = np.full((K, self.n_stencil), -1, dtype=np.int64)
+        for k1 in range(K):
+            tgt = ks[k1][None, :] - self.stencil_offsets         # (S, dim)
+            ok = ((tgt >= 0) & (tgt <= 2 * ell + 1)).all(-1)
+            k2map[k1, ok] = ravel(tgt[ok], np.full(dim, 2 * ell + 2))
+        self._cell_tab = dict(
+            p_idx1=p_idx1, pvalid1=pvalid1, cnode1=cnode1, incv1=incv1,
+            p_idx2=p_idx2, pvalid2=pvalid2, cnode2=cnode2, incv2=incv2,
+            e_idx=e_idx.astype(np.int32), evalid=evalid,
+            own=own, k2map=k2map, K=K, K2=K2, O=O)
+        return self._cell_tab
+
+    def _stencil_build_cells(self, Phi, APhi):
+        """Cell-decomposed stencil build: one batched contraction over
+        owned nodes, one row gather of the cell-pair table onto the patch
+        axis, then ``dim`` small *separable* indicator contractions that
+        realize the slot correlation  A_st[q, delta] = sum_k1 G2[q, k1,
+        k1 - delta]  axis by axis — replacing a K-times-unrolled
+        gather/accumulate loop (K = 125 in 3D at l=2) that dominated both
+        compile time and HBM write traffic."""
+        C = self.C
+        P = self.topo.n_patches
+        dim = self.cfg.dim
+        kappa = 2 * self.cfg.oversampling + 1
+        S1 = 2 * self.stencil_R + 1
+        tab = self._cell_tables()
+        K, K2, O = tab["K"], tab["K2"], tab["O"]
+
+        def cell_table(X, which):
+            # (E, Kx, O, C, C) values of the covering patches at owned nodes
+            p_idx = tab[f"p_idx{which}"]
+            t = X[p_idx[:, :, None], tab[f"cnode{which}"][None, :, :]]
+            mask = (tab[f"pvalid{which}"][:, :, None]
+                    & tab[f"incv{which}"][None, :, :]
+                    & tab["own"])
+            return t * mask[:, :, :, None, None]
+
+        Pc = cell_table(Phi.reshape(P, self.canvas_n, C, C), 1)
+        Ac = cell_table(APhi.reshape(P, self.canvas_n, C, C), 2)
+        T = jnp.einsum("ekocd,emocf->ekmdf", Pc, Ac)     # (E, K, K2, C, C)
+        # cell-pair rows onto the patch axis: G2[q, k1] = T[e(q, k1), k1]
+        G2 = T[jnp.asarray(tab["e_idx"]), jnp.arange(K)[None, :]]
+        G2 = G2 * tab["evalid"][:, :, None, None, None]
+        # per-axis slot-match indicator: M[k, m, j] = 1 iff m == k - (j - R)
+        # (the per-axis factor of the k2map relation, LOD.cc
+        # compute_mmult_pattern analog); invalid slot pairs simply no-match.
+        M = jnp.asarray(
+            (np.arange(kappa)[:, None, None]
+             - (np.arange(S1)[None, None, :] - self.stencil_R)
+             == np.arange(kappa + 1)[None, :, None]).astype(self.dtype))
+        # reshape flat slot axes to per-axis grids (ravel is axis-0-fastest,
+        # so the reshaped order is reversed: spatial axis dim-1 first)
+        X = G2.reshape((P,) + (kappa,) * dim + (kappa + 1,) * dim + (C, C))
+        kL, mL, jL = "abc"[:dim], "uvw"[:dim], "ijl"[:dim]
+        sub = "p" + kL + mL + "xy"
+        for a in range(dim):
+            out = sub.replace(kL[a], "").replace(mL[a], "")
+            out = out[:-2] + jL[a] + "xy"
+            X = jnp.einsum(f"{sub},{kL[a]}{mL[a]}{jL[a]}->{out}", X, M)
+            sub = out
+        # axes now (P, j_{dim-1}, ..., j_0, C, C): flat index axis-0-fastest
+        return X.reshape(P, self.n_stencil, C, C)
+
+    def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:
+        """Stencil matvec A_LOD u: the neighbor values u[q + delta] are
+        extracted as structured windows over the coarse lattice
+        (``conv_general_dilated_patches`` — one fused XLA window op) instead
+        of a (P, S) random gather, which on TPU was ~20 ms per matvec
+        (gather-bound) vs ~1 ms for the window form."""
+        cfg, C = self.cfg, self.C
+        R = self.stencil_R
+        dim = cfg.dim
+        grid = _rev(self.grid.cell_dims)                      # (z, y, x)
+        ug = u.reshape(grid + (C,))
+        ug = jnp.moveaxis(ug, -1, 0)[None]                    # (1, C, z, y, x)
+        # out channel = c * S + f with filter positions raveled row-major
+        # over (z, y, x), i.e. x fastest — matching the stencil_offsets
+        # ravel; zero padding realizes the domain-validity mask
+        patches = jax.lax.conv_general_dilated_patches(
+            ug, filter_shape=(2 * R + 1,) * dim,
+            window_strides=(1,) * dim, padding=[(R, R)] * dim)
+        u_nb = patches.reshape(C, self.n_stencil, -1)         # (C, S, P)
+        return jnp.einsum("psde,esp->pd", A_st, u_nb)
+
+    def coarse_matvec(self, u: jnp.ndarray) -> jnp.ndarray:
+        """u: (P, C) -> A_LOD u (P, C) via stencil gather."""
+        return self._coarse_matvec_with(self.A_stencil, u)
