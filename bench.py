@@ -130,7 +130,12 @@ def main():
         u, A_st = step(solver.coef_q, solver.fem_rhs)
         # fetch to host: on the axon backend block_until_ready does NOT
         # wait for the computation, so timings must materialize the value
-        return np.asarray(u), u
+        u_np = np.asarray(u)
+        # never time garbage: a non-finite or identically-zero solution
+        # means the pipeline silently diverged (NaN basis -> CG no-op)
+        assert np.isfinite(u_np).all(), "bench pipeline produced non-finite"
+        assert np.abs(u_np).max() > 0, "bench pipeline produced zero solution"
+        return u_np, u
 
     # warm-up / compile
     t0 = time.perf_counter()

@@ -221,10 +221,15 @@ class SLODConfig:
                                       # product, ops/patch_solve.py),
                                       # "auto" = fused on TPU float32
     fused_block: int = 1              # patches per fused-kernel instance
-                                      # (VMEM budget: ~5 buffers of
-                                      # fused_block * n^2 * 4 B each incl.
-                                      # pipeline double-buffering; bs=2
-                                      # exceeds the 16 MB VMEM at n=768)
+                                      # (VMEM: ~fused_block * (n^2 + 2 n k)
+                                      # * 4 B for the "ldl" algo incl.
+                                      # pipeline double-buffering)
+    fused_algo: str = "ldl"           # fused-kernel formulation: "ldl"
+                                      # (block-LDL^T, batched Gauss-Jordan
+                                      # diagonal inverses — scalar chain
+                                      # shared across the instance batch) or
+                                      # "chol" (blocked Cholesky, per-patch
+                                      # masked factor loops)
     coef_windows: bool = True         # structured window extraction for the
                                       # per-patch coefficient rows (vs the
                                       # (P, n_sub) gather); auto-disabled

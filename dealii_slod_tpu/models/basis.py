@@ -429,9 +429,12 @@ class BasisKernels:
         vprep = jax.vmap(prep, in_axes=([0] * nc, 0, 0))
         vfinish = jax.vmap(finish)
 
+        algo = self.cfg.fused_algo
+
         def cfn(coef_list, nlo, nhi, sides):
             _, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
-            Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m, bs=bs)
+            Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m, bs=bs,
+                                                algo=algo)
             eye = jnp.eye(cvd.shape[-1], dtype=self.dtype)
             T = T_raw / Hdim + eye * (1.0 - cvd)[:, None, :]
             # re-assemble A_raw for the trace/premultiply stage

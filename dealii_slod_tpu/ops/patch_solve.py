@@ -102,6 +102,107 @@ def _invert_lower(L, nb):
     return jax.lax.fori_loop(0, nb, step, jnp.zeros_like(L))
 
 
+def _gj_invert_spd(M, nb, bs):
+    """Batched in-place Gauss-Jordan (sweep) inversion of (bs, nb, nb) SPD
+    blocks.  Pure 3D elementwise/reduction ops — no dots — so the nb-step
+    scalar dependency chain (the latency wall of any factorization) is
+    *shared across the bs patches* of the kernel instance instead of paid
+    once per patch.  No pivoting: SPD pivots stay positive under sweeps."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bs, nb, nb), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bs, nb, nb), 2)
+    c1 = jax.lax.broadcasted_iota(jnp.int32, (bs, 1, nb), 2)
+
+    def step(k, M):
+        colk = jnp.sum(jnp.where(cols == k, M, 0.0), axis=2, keepdims=True)
+        rowk = jnp.sum(jnp.where(rows == k, M, 0.0), axis=1, keepdims=True)
+        p = jnp.sum(jnp.where(c1 == k, rowk, 0.0), axis=2, keepdims=True)
+        d = 1.0 / p
+        Mn = M - (colk * d) * rowk
+        Mn = jnp.where(rows == k, rowk * d, Mn)
+        Mn = jnp.where(cols == k, colk * d, Mn)
+        return jnp.where((rows == k) & (cols == k), -d, Mn)
+
+    # after sweeping every k the matrix holds -M^-1
+    return -jax.lax.fori_loop(0, nb, step, M)
+
+
+def _fused_kernel_ldl_noalias(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref,
+                              t_ref):
+    """No-aliasing variant: copies the inputs into the output refs in VMEM
+    first, then runs the in-place LDL on the outputs.  Costs one extra
+    VMEM residency of A per instance but sidesteps input/output aliasing."""
+    a_ref[:] = a_in[:]
+    b_ref[:] = b_in[:]
+    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_ref, b_ref, t_ref)
+
+
+def _fused_kernel_ldl_scratch(nb, n_blocks, bs, a_in, b_in, x_ref, t_ref,
+                              a_scr):
+    """Scratch-workspace variant: the factor runs on a VMEM scratch copy of
+    A (the L panels are never an output — the pipeline only consumes X and
+    T), and the RHS evolves in place in the X output ref.  No aliasing, no
+    (P, n, n) factor writeback to HBM."""
+    a_scr[:] = a_in[:]
+    x_ref[:] = b_in[:]
+    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_ref, t_ref)
+
+
+def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref):
+    """Block-LDL^T fused factor + multi-RHS solve + triple product.
+
+    A = L D L^T with unit-diagonal block lower L and SPD diagonal blocks D;
+    the diagonal blocks are inverted by `_gj_invert_spd` (batched across the
+    instance's bs patches — this removes the per-patch scalar-chain latency
+    that dominated the Cholesky formulation), every panel/Schur/RHS update
+    is a per-patch 2D MXU dot.
+
+    a_ref (bs, n, n) aliased in/out: lower panels become L, diagonal blocks
+    are consumed.  b_ref (bs, n, k) aliased in/out: holds B -> z = L^-1 B ->
+    w = D^-1 z -> X = L^-T w = A^-1 B in place.  t_ref accumulates
+    T = sum_j z_j^T D_j^-1 z_j = B^T A^-1 B (== Y^T Y of the Cholesky form).
+    """
+    del a_in, b_in
+    n = nb * n_blocks
+
+    # ---- forward: factor, z = L^-1 B, w = D^-1 z, T accumulation ----
+    for j in range(n_blocks):
+        j0, j1 = j * nb, (j + 1) * nb
+        Dinv = _gj_invert_spd(a_ref[:, j0:j1, j0:j1], nb, bs)
+        for i in range(bs):
+            zj = b_ref[i, j0:j1, :]                    # (nb, k)
+            wj = _mm(Dinv[i], zj)                      # D_j^-1 z_j
+            c = _mTm(zj, wj)
+            t_ref[i] = c if j == 0 else t_ref[i] + c
+            if j + 1 < n_blocks:
+                Aij = a_ref[i, j1:n, j0:j1]            # raw sub-diag panel
+                W = _mm(Aij, Dinv[i])                  # L_{i>j, j}
+                a_ref[i, j1:n, j0:j1] = W
+                a_ref[i, j1:n, j1:n] = (a_ref[i, j1:n, j1:n]
+                                        - _mmT(W, Aij))  # Schur
+                b_ref[i, j1:n, :] = b_ref[i, j1:n, :] - _mm(W, zj)
+            b_ref[i, j0:j1, :] = wj                    # z_j -> w_j in place
+
+    # ---- backward: X = L^-T w (in place in b_ref) ----
+    for j in range(n_blocks - 2, -1, -1):
+        j0, j1 = j * nb, (j + 1) * nb
+        for i in range(bs):
+            b_ref[i, j0:j1, :] = (b_ref[i, j0:j1, :]
+                                  - _mTm(a_ref[i, j1:n, j0:j1],
+                                         b_ref[i, j1:n, :]))
+
+
+def _fused_kernel_chol_noalias(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref,
+                               x_ref, y_ref, t_ref, e_ref):
+    """No-aliasing wrapper for the Cholesky kernel: input/output aliasing
+    silently corrupts VMEM on pipelined grids on some backends (observed on
+    the axon-tunneled v5e at grid >= ~32: every output NaN), so the inputs
+    are copied into the output refs explicitly."""
+    a_ref[:] = a_in[:]
+    b_ref[:] = b_in[:]
+    _fused_kernel(nb, n_blocks, bs, None, None, a_ref, b_ref, x_ref, y_ref,
+                  t_ref, e_ref)
+
+
 def _fused_kernel(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, x_ref, y_ref,
                   t_ref, e_ref):
     """a_in/b_in are aliased with the a_ref/b_ref outputs (same VMEM
@@ -147,16 +248,23 @@ def _fused_kernel(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, x_ref, y_ref,
         t_ref[i] = acc
 
 
-@partial(jax.jit, static_argnames=("nb", "bs", "interpret"))
+@partial(jax.jit, static_argnames=("nb", "bs", "interpret", "algo"))
 def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
-                       bs: int = 1, interpret: bool | None = None):
+                       bs: int = 1, interpret: bool | None = None,
+                       algo: str = "ldl"):
     """Batched fused SPD factor + multi-RHS solve + triple product.
 
-    A (P, n, n) SPD, B (P, n, k) -> (X = A^-1 B (P, n, k), T = Y^T Y (P, k, k))
+    A (P, n, n) SPD, B (P, n, k) -> (X = A^-1 B (P, n, k),
+    T = B^T A^-1 B (P, k, k) — the Cholesky form's Y^T Y).
 
-    ``bs``: patches per kernel instance.  VMEM holds ~5 n^2-to-n*k sized
-    buffers per instance (matrix in/out aliased + RHS + X + Y + scratch,
-    double-buffered by the pipeline) — bs=1 fits the 16 MB VMEM at n=768.
+    ``bs``: patches per kernel instance.  ``algo``:
+
+    - ``"ldl"`` (default): block-LDL^T with batched Gauss-Jordan diagonal
+      inverses — the nb-length scalar chain per block is *shared* across
+      the bs patches, so larger bs amortizes the latency wall.  VMEM per
+      instance ~ bs * (n^2 + n k + k^2) * 4 B: bs=4 fits at n=768, k=128.
+    - ``"chol"``: right-looking blocked Cholesky with per-patch masked
+      factor loops (the original formulation; scalar chains per patch).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -191,19 +299,48 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     rhs_spec = pl.BlockSpec((bs, n, k), lambda i: (i, 0, 0))
     t_spec = pl.BlockSpec((bs, k, k), lambda i: (i, 0, 0))
 
+    if algo == "ldl":
+        X, T = pl.pallas_call(
+            partial(_fused_kernel_ldl_scratch, nb, n_blocks, bs),
+            grid=grid,
+            in_specs=[mat_spec, rhs_spec],
+            out_specs=(rhs_spec, t_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((Pp, n, k), dt),   # B -> z -> w -> X
+                jax.ShapeDtypeStruct((Pp, k, k), dt),   # T
+            ),
+            scratch_shapes=[pltpu.VMEM((bs, n, n), dt)],
+            interpret=interpret,
+        )(Ap, Bp)
+        return X[:P, :n0, :k0], T[:P, :k0, :k0]
+
+    if algo == "ldl_noalias":
+        _, X, T = pl.pallas_call(
+            partial(_fused_kernel_ldl_noalias, nb, n_blocks, bs),
+            grid=grid,
+            in_specs=[mat_spec, rhs_spec],
+            out_specs=(mat_spec, rhs_spec, t_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((Pp, n, n), dt),   # L + consumed D
+                jax.ShapeDtypeStruct((Pp, n, k), dt),   # B -> z -> w -> X
+                jax.ShapeDtypeStruct((Pp, k, k), dt),   # T
+            ),
+            interpret=interpret,
+        )(Ap, Bp)
+        return X[:P, :n0, :k0], T[:P, :k0, :k0]
+
     _, _, X, Y, T = pl.pallas_call(
-        partial(_fused_kernel, nb, n_blocks, bs),
+        partial(_fused_kernel_chol_noalias, nb, n_blocks, bs),
         grid=grid,
         in_specs=[mat_spec, rhs_spec],
         out_specs=(mat_spec, rhs_spec, rhs_spec, rhs_spec, t_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((Pp, n, n), dt),   # L (aliased A)
-            jax.ShapeDtypeStruct((Pp, n, k), dt),   # consumed B (aliased)
+            jax.ShapeDtypeStruct((Pp, n, n), dt),   # L
+            jax.ShapeDtypeStruct((Pp, n, k), dt),   # consumed B
             jax.ShapeDtypeStruct((Pp, n, k), dt),   # X
             jax.ShapeDtypeStruct((Pp, n, k), dt),   # Y
             jax.ShapeDtypeStruct((Pp, k, k), dt),   # T
         ),
-        input_output_aliases={0: 0, 1: 1},
         scratch_shapes=[pltpu.VMEM((bs, n, nb), dt)],
         interpret=interpret,
     )(Ap, Bp)
