@@ -137,10 +137,18 @@ def main():
         assert np.abs(u_np).max() > 0, "bench pipeline produced zero solution"
         return u_np, u
 
-    # warm-up / compile
-    t0 = time.perf_counter()
-    _, u_dev = pipeline()
-    compile_s = time.perf_counter() - t0
+    # warm-up / compile — the tunneled remote-compile helper occasionally
+    # fails transiently (HTTP 500); retry before giving up
+    for attempt in range(3):
+        try:
+            t0 = time.perf_counter()
+            _, u_dev = pipeline()
+            compile_s = time.perf_counter() - t0
+            break
+        except Exception as exc:
+            if attempt == 2 or "remote_compile" not in str(exc):
+                raise
+            time.sleep(5.0)
 
     # timed runs (fetch-inclusive; the fetched array is P floats — small)
     times = []

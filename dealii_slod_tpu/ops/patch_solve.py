@@ -147,6 +147,22 @@ def _fused_kernel_ldl_scratch(nb, n_blocks, bs, a_in, b_in, x_ref, t_ref,
     _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_ref, t_ref)
 
 
+def _fused_kernel_ldl_dma(pl, pltpu, nb, n_blocks, bs, a_hbm, b_in, x_ref,
+                          t_ref, a_scr, sem):
+    """Manual-DMA variant for bs > 1: A stays in HBM (``memory_space=ANY``)
+    and the instance's (bs, n, n) slab is DMA'd straight into the single
+    VMEM scratch — without this, the pipeline double-buffers the A block on
+    top of the scratch copy and blows the 16 MB VMEM budget at bs >= 2.
+    The A fetch (~10 us at bs=4) is negligible against the ~ms factor, so
+    losing the automatic prefetch overlap costs nothing."""
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(a_hbm.at[pl.ds(i * bs, bs)], a_scr, sem)
+    cp.start()
+    x_ref[:] = b_in[:]
+    cp.wait()
+    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_ref, t_ref)
+
+
 def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref):
     """Block-LDL^T fused factor + multi-RHS solve + triple product.
 
@@ -300,18 +316,31 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     t_spec = pl.BlockSpec((bs, k, k), lambda i: (i, 0, 0))
 
     if algo == "ldl":
-        X, T = pl.pallas_call(
-            partial(_fused_kernel_ldl_scratch, nb, n_blocks, bs),
-            grid=grid,
-            in_specs=[mat_spec, rhs_spec],
-            out_specs=(rhs_spec, t_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct((Pp, n, k), dt),   # B -> z -> w -> X
-                jax.ShapeDtypeStruct((Pp, k, k), dt),   # T
-            ),
-            scratch_shapes=[pltpu.VMEM((bs, n, n), dt)],
-            interpret=interpret,
-        )(Ap, Bp)
+        out_shape = (
+            jax.ShapeDtypeStruct((Pp, n, k), dt),   # B -> z -> w -> X
+            jax.ShapeDtypeStruct((Pp, k, k), dt),   # T
+        )
+        if bs == 1 or interpret:
+            X, T = pl.pallas_call(
+                partial(_fused_kernel_ldl_scratch, nb, n_blocks, bs),
+                grid=grid,
+                in_specs=[mat_spec, rhs_spec],
+                out_specs=(rhs_spec, t_spec),
+                out_shape=out_shape,
+                scratch_shapes=[pltpu.VMEM((bs, n, n), dt)],
+                interpret=interpret,
+            )(Ap, Bp)
+        else:
+            X, T = pl.pallas_call(
+                partial(_fused_kernel_ldl_dma, pl, pltpu, nb, n_blocks, bs),
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), rhs_spec],
+                out_specs=(rhs_spec, t_spec),
+                out_shape=out_shape,
+                scratch_shapes=[pltpu.VMEM((bs, n, n), dt),
+                                pltpu.SemaphoreType.DMA],
+                interpret=interpret,
+            )(Ap, Bp)
         return X[:P, :n0, :k0], T[:P, :k0, :k0]
 
     if algo == "ldl_noalias":

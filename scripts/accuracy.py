@@ -2,48 +2,73 @@
 
 Runs the same config twice — float32 on the default backend and float64 on
 CPU — and prints relative errors of the coarse solution, stencil operator
-and basis canvases.  Usage: python scripts/accuracy.py [refine] [ell]
+and basis canvases.
+
+Usage:
+    python scripts/accuracy.py [refine] [ell]          # both runs + report
+    python scripts/accuracy.py [refine] [ell] f32      # only the f32 run
+    python scripts/accuracy.py [refine] [ell] f64      # only the f64 run
+    python scripts/accuracy.py [refine] [ell] report   # only the comparison
 """
-import os, sys
+import os
+import subprocess
+import sys
+
 import numpy as np
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 refine = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 ell = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+what = sys.argv[3] if len(sys.argv) > 3 else "all"
 
-def run(dtype, force_cpu):
-    import subprocess, json, textwrap
-    code = f"""
-import jax, json
-import numpy as np
-if {force_cpu}:
+CHILD = """
+import sys
+dtype, force_cpu = sys.argv[1], sys.argv[2] == "cpu"
+import jax
+if force_cpu:
     jax.config.update("jax_platforms", "cpu")
-if "{dtype}" == "float64":
+if dtype == "float64":
     jax.config.update("jax_enable_x64", True)
-import sys; sys.path.insert(0, {os.getcwd()!r})
+import numpy as np
+sys.path.insert(0, {here!r})
 from dealii_slod_tpu.config import ReductionControl, SLODConfig
 from dealii_slod_tpu.models import DiffusionProblem, LODSolver
 cfg = SLODConfig(dim=3, n_global_refinements={refine}, n_subdivisions=2,
                  oversampling={ell}, lod_stabilization=True,
                  constant_coefficients=False, coef_seed=0, coef_refinement=5,
-                 rhs="1", bc="0", dtype="{dtype}", patch_chunk=256,
+                 rhs="1", bc="0", dtype=dtype, patch_chunk=256,
                  solve_fine_problem=False,
                  coarse_solver=ReductionControl(1000, 1e-12, 1e-10))
 s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
 s.compute_basis(); s.assemble_coarse_operator(); s.assemble_fine_rhs()
 u = s.solve_coarse()
-np.save("/tmp/acc_{dtype}.npy", np.asarray(u, np.float64))
-np.save("/tmp/acc_A_{dtype}.npy", np.asarray(s.A_stencil, np.float64))
-np.save("/tmp/acc_P_{dtype}.npy", np.asarray(s.Phi, np.float64))
-print("done {dtype}")
+assert np.isfinite(np.asarray(s.Phi)).all(), "non-finite basis"
+np.save(f"/tmp/acc_{{dtype}}.npy", np.asarray(u, np.float64))
+np.save(f"/tmp/acc_A_{{dtype}}.npy", np.asarray(s.A_stencil, np.float64))
+np.save(f"/tmp/acc_P_{{dtype}}.npy", np.asarray(s.Phi, np.float64))
+print("done", dtype)
 """
-    subprocess.run([sys.executable, "-c", code], check=True, cwd=os.getcwd())
 
-run("float32", False)
-run("float64", True)
-u32 = np.load("/tmp/acc_float32.npy"); u64 = np.load("/tmp/acc_float64.npy")
-A32 = np.load("/tmp/acc_A_float32.npy"); A64 = np.load("/tmp/acc_A_float64.npy")
-P32 = np.load("/tmp/acc_P_float32.npy"); P64 = np.load("/tmp/acc_P_float64.npy")
-rel = lambda a, b: float(np.abs(a - b).max() / np.abs(b).max())
-print(f"coarse solution rel err : {rel(u32, u64):.3e}")
-print(f"stencil operator rel err: {rel(A32, A64):.3e}")
-print(f"basis canvas rel err    : {rel(P32, P64):.3e}")
+
+def run(dtype, force_cpu):
+    code = CHILD.format(here=HERE, refine=refine, ell=ell)
+    subprocess.run([sys.executable, "-c", code, dtype,
+                    "cpu" if force_cpu else "dev"], check=True, cwd=HERE)
+
+
+if what in ("all", "f32"):
+    run("float32", False)
+if what in ("all", "f64"):
+    run("float64", True)
+if what in ("all", "report"):
+    u32 = np.load("/tmp/acc_float32.npy")
+    u64 = np.load("/tmp/acc_float64.npy")
+    A32 = np.load("/tmp/acc_A_float32.npy")
+    A64 = np.load("/tmp/acc_A_float64.npy")
+    P32 = np.load("/tmp/acc_P_float32.npy")
+    P64 = np.load("/tmp/acc_P_float64.npy")
+    rel = lambda a, b: float(np.abs(a - b).max() / np.abs(b).max())
+    print(f"coarse solution rel err : {rel(u32, u64):.3e}")
+    print(f"stencil operator rel err: {rel(A32, A64):.3e}")
+    print(f"basis canvas rel err    : {rel(P32, P64):.3e}")
