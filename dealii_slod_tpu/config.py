@@ -232,6 +232,11 @@ class SLODConfig:
                                       # shared across the instance batch) or
                                       # "chol" (blocked Cholesky, per-patch
                                       # masked factor loops)
+    assembly_mode: str = "banded"     # patch stiffness assembly: "banded"
+                                      # (scatter-free nodal-stencil windows
+                                      # + strided densification) or
+                                      # "scatter" (per-subcell element
+                                      # matrices scatter-added)
     coef_windows: bool = True         # structured window extraction for the
                                       # per-patch coefficient rows (vs the
                                       # (P, n_sub) gather); auto-disabled

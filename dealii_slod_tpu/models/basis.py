@@ -286,14 +286,28 @@ class BasisKernels:
                 tuple(g - 2 for g in grid_rev) + (C, k)))
             return z.reshape(nD, k)
 
+        use_banded = cfg.assembly_mode == "banded"
+        if use_banded:
+            from dealii_slod_tpu.ops.assembly import (assemble_dense_banded,
+                                                      make_band_tensors)
+            band_tensors = make_band_tensors(et)
+            sub_dims_np = sc.sub_dims_local.copy()
+            node_dims_np = sc.node_dims_local.copy()
+
         def prep(coef_list, nlo, nhi):
             """Assembled operators + masks for one patch window."""
             in_sub = ((sub_coords >= nlo) & (sub_coords <= nhi - 1)
                       ).all(axis=1)                          # (n_sub,)
             coefs = {k: c * in_sub[:, None]
                      for k, c in zip(self.coef_names, coef_list)}
-            Ksub = make_subcell_matrices(et, coefs)
-            A_raw = assemble_dense(Ksub, flat_idx, nD)
+            if use_banded:
+                # scatter-free nodal-stencil assembly (ops/assembly.py):
+                # windowed contraction + banded-stride densification
+                A_raw = assemble_dense_banded(coefs, band_tensors,
+                                              sub_dims_np, node_dims_np)
+            else:
+                Ksub = make_subcell_matrices(et, coefs)
+                A_raw = assemble_dense(Ksub, flat_idx, nD)
             # window-interior mask restricted to the static canvas interior
             node_int = ((int_coords > nlo) & (int_coords < nhi)).all(axis=1)
             m = jnp.repeat(node_int, C).astype(dt)           # (nI,)
@@ -432,13 +446,14 @@ class BasisKernels:
         algo = self.cfg.fused_algo
 
         def cfn(coef_list, nlo, nhi, sides):
-            _, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
+            A_raw, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
             Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m, bs=bs,
                                                 algo=algo)
             eye = jnp.eye(cvd.shape[-1], dtype=self.dtype)
             T = T_raw / Hdim + eye * (1.0 - cvd)[:, None, :]
-            # re-assemble A_raw for the trace/premultiply stage
-            A_raw, _, _, _ = vprep(coef_list, nlo, nhi)
+            # A_raw flows through HBM to the trace/premultiply stage (a
+            # chunk of (B, nD, nD) matrices is ~2 GB of traffic — ms — vs
+            # re-running the scatter-heavy assembly, ~0.75 s per pass)
             return vfinish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides)
 
         return cfn

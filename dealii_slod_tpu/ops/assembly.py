@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dealii_slod_tpu.grid import cartesian_coords
 from dealii_slod_tpu.ops.element import ElementTensors
 
 
@@ -63,6 +64,126 @@ def assemble_dense_batch(Ksub: jnp.ndarray, flat_idx, n_dofs: int) -> jnp.ndarra
     """Batched version: (B, n_sub, mD, mD) -> (B, n_dofs, n_dofs)."""
     flat_idx = jnp.asarray(flat_idx)
     return jax.vmap(lambda k: assemble_dense(k, flat_idx, n_dofs))(Ksub)
+
+
+# ---------------------------------------------------------------------------
+# Band-form assembly: windowed contraction + strided densification
+# ---------------------------------------------------------------------------
+#
+# The scatter-add assembly above writes n_sub * (2^dim C)^2 addends with ~m
+# duplicates per target — a serialized scatter that dominated the patch-prep
+# stage on TPU (~0.19 ms/patch at the 3D north-star config).  On the uniform
+# subcell grid the stiffness is a 3^dim-point nodal stencil, so it can be
+# built without any scatter:
+#
+#   band[i, o] = sum_{r, q} alpha[subcell(i, r), q] * T[r, q, o]
+#
+# with r the 2^dim subcells adjacent to node i (zero-padded off the grid) and
+# T a constant tensor read off the reference element matrix.  The dense
+# matrix then falls out of the classic banded-stride embedding: entry
+# (i, i + delta) sits at flat position i*(nN+1) + delta of an (nN+1, nN+1)
+# buffer, so placing band column o at static column delta_o and reslicing
+# with stride nN reproduces the dense matrix — pure pads/reshapes, no
+# scatter, no duplicates.
+
+
+def make_band_tensors(et: ElementTensors) -> Dict[str, np.ndarray]:
+    """Constant nodal-stencil tensors per coefficient name.
+
+    Returns name -> T of shape (2^dim, nq, 3^dim, C, C):
+    T[r, q, o] = K[q, a(r), b(r, o)] where a(r) is the local corner of the
+    node in relative subcell r and b = a + delta_o (zero when b leaves the
+    subcell)."""
+    dim, C = et.dim, et.n_components
+    m = 2 ** dim
+    nq = m
+    rs = cartesian_coords(np.full(dim, 2))            # (m, dim)
+    offs = cartesian_coords(np.full(dim, 3)) - 1      # (3^dim, dim)
+    pow2 = 2 ** np.arange(dim)
+
+    def band_of(K):
+        K5 = K.reshape(nq, m, C, m, C)
+        T = np.zeros((m, nq, len(offs), C, C))
+        for ri, r in enumerate(rs):
+            a_vec = 1 - r
+            a = int(a_vec @ pow2)
+            for oi, o in enumerate(offs):
+                b_vec = a_vec + o
+                if ((b_vec >= 0) & (b_vec <= 1)).all():
+                    b = int(b_vec @ pow2)
+                    T[ri, :, oi] = K5[:, a, :, b, :]
+        return T
+
+    out = {}
+    if C == 1:
+        out["alpha"] = band_of(et.K_grad)
+    else:
+        out["mu"] = band_of(et.K_mu)
+        out["lam"] = band_of(et.K_lam)
+    return out
+
+
+def node_subcell_windows(coef: jnp.ndarray, sub_dims) -> jnp.ndarray:
+    """Subcell coefficient windows around each node.
+
+    ``coef``: (n_sub, nq) subcell quadrature values on a grid with
+    ``sub_dims`` subcells per axis (x-fastest ravel).  Returns
+    (n_nodes, 2^dim, nq) — the values of the 2^dim subcells adjacent to
+    each node (r ordered x-fastest, zero off the grid)."""
+    dim = len(sub_dims)
+    grid_rev = tuple(int(d) for d in np.asarray(sub_dims)[::-1])
+    nq = coef.shape[-1]
+    cg = jnp.moveaxis(coef.reshape(grid_rev + (nq,)), -1, 0)[None]
+    pat = jax.lax.conv_general_dilated_patches(
+        cg, filter_shape=(2,) * dim, window_strides=(1,) * dim,
+        padding=[(1, 1)] * dim)                       # (1, nq*2^dim, nodes..)
+    m = 2 ** dim
+    pat = pat.reshape(nq, m, -1)                      # (nq, r, n_nodes)
+    return jnp.transpose(pat, (2, 1, 0))              # (n_nodes, r, nq)
+
+
+def assemble_bands(coefs: Dict[str, jnp.ndarray], band_tensors,
+                   sub_dims) -> jnp.ndarray:
+    """Nodal-stencil stiffness bands (n_nodes, 3^dim, C, C) from subcell
+    quadrature coefficients (n_sub, nq) per name."""
+    out = None
+    for name, coef in coefs.items():
+        W = node_subcell_windows(coef, sub_dims)      # (n, r, q)
+        T = jnp.asarray(band_tensors[name], W.dtype)
+        term = jnp.einsum("nrq,rqocd->nocd", W, T)
+        out = term if out is None else out + term
+    return out
+
+
+def bands_to_dense(band: jnp.ndarray, node_dims) -> jnp.ndarray:
+    """(n_nodes, 3^dim, C, C) bands -> dense (n_nodes*C, n_nodes*C) via the
+    banded-stride embedding (zero scatters; wrap positions are provably zero
+    because the clipped subcell windows zero them)."""
+    nN, O, C, _ = band.shape
+    dims = np.asarray(node_dims)
+    dim = len(dims)
+    offs = cartesian_coords(np.full(dim, 3)) - 1
+    strides = np.concatenate([[1], np.cumprod(dims[:-1])])
+    deltas = (offs * strides).sum(axis=1).astype(int)  # (O,) flat offsets
+
+    X2 = jnp.zeros((nN + 1, nN + 1, C, C), band.dtype)
+    for oi, d in enumerate(deltas):
+        if d >= 0:
+            X2 = X2.at[:nN, d].set(band[:, oi])
+        else:
+            X2 = X2.at[:nN - 1, nN + 1 + d].set(band[1:, oi])
+    F = X2.reshape((nN + 1) * (nN + 1), C, C)[:nN * nN]
+    F = F.reshape(nN, nN, C, C)
+    if C == 1:
+        return F[:, :, 0, 0]
+    return jnp.moveaxis(F, 2, 1).reshape(nN * C, nN * C)
+
+
+def assemble_dense_banded(coefs: Dict[str, jnp.ndarray], band_tensors,
+                          sub_dims, node_dims) -> jnp.ndarray:
+    """Scatter-free dense patch stiffness from subcell coefficients."""
+    band = assemble_bands(coefs, band_tensors, sub_dims)
+    return bands_to_dense(band, node_dims)
 
 
 # ---------------------------------------------------------------------------
