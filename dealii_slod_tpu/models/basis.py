@@ -403,6 +403,79 @@ class BasisKernels:
             T = (PT_m.T @ Ainv_PT) / Hdim + jnp.diag(1.0 - cvd)
             return finish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides_dom)
 
+        # --- split form of `finish` for the chunk kernel: the spectral
+        # decomposition is hoisted out of the vmap into ONE batched Pallas
+        # Jacobi call (inside the vmap each pallas instance would process a
+        # single (cD, cD) matrix — per-round fixed costs dominate; hoisted,
+        # 16 matrices share every VPU pass) ---
+
+        def edge_masks(nlo, nhi, sides_dom):
+            node_in = ((node_coords >= nlo)
+                       & (node_coords <= nhi)).all(axis=1)
+            on_lo = node_coords == nlo
+            on_hi = node_coords == nhi
+            isdom = (((on_lo & sides_dom[0::2])
+                      | (on_hi & sides_dom[1::2])).any(axis=1) & node_in)
+            is99 = (((on_lo & ~sides_dom[0::2])
+                     | (on_hi & ~sides_dom[1::2])).any(axis=1) & node_in)
+            return isdom, is99
+
+        def finish_pre(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides_dom):
+            """Per-patch Gram matrices + projections for the SLOD spectral
+            least squares (everything before the eigendecomposition)."""
+            Tinv = spd_inverse(T)
+            A_cols_I = interior_cols(A_raw)
+            _, is99 = edge_masks(nlo, nhi, sides_dom)
+            is99d = jnp.repeat(is99, C).astype(dt)
+            S_AiPT = (A_cols_I * is99d[:, None]) @ Ainv_PT
+            PT_b = PT * is99d[:, None] * cvd[None, :]
+            BD = (S_AiPT - PT_b) @ Tinv
+            Gs, g0s = [], []
+            for d in range(C):
+                cen = self.canvas_center_cell * C + d
+                onehot = (jnp.arange(cD) == cen).astype(dt)
+                colmask = (1.0 - onehot) * cvd
+                newBD = BD * colmask[None, :]
+                Gs.append(newBD.T @ newBD)
+                g0s.append(newBD.T @ BD[:, cen])
+            return Tinv, jnp.stack(Gs), jnp.stack(g0s)
+
+        def finish_post(A_raw, Ainv_PT, Tinv, lam, V, g0s, cvd, nlo, nhi,
+                        sides_dom):
+            """Truncated pseudo-inverse solve + candidates + canvases."""
+            A_cols_I = interior_cols(A_raw)
+            isdom, _ = edge_masks(nlo, nhi, sides_dom)
+            cols = []
+            for d in range(C):
+                cen = self.canvas_center_cell * C + d
+                onehot = (jnp.arange(cD) == cen).astype(dt)
+                colmask = (1.0 - onehot) * cvd
+                lam_d, V_d, g0 = lam[d], V[d], g0s[d]
+                inv_sig = jnp.where(lam_d > thr * lam_d[0], 1.0 / lam_d, 0.0)
+                uv = V_d.T @ g0
+                terms = (inv_sig * uv)[:, None] * V_d.T
+                d0 = -terms.sum(axis=0)
+
+                def body(carry, term):
+                    dvec, done = carry
+                    done = done | (jnp.max(jnp.abs(dvec)) < 0.5)
+                    dvec = jnp.where(done, dvec, dvec + term)
+                    return (dvec, done), None
+
+                (dvec, _), _ = jax.lax.scan(
+                    body, (d0, jnp.asarray(False)), terms[::-1])
+                c = Tinv @ (onehot + dvec * colmask)
+                cols.append(Ainv_PT @ c)
+            phi_int = jnp.stack(cols, axis=-1)
+            norms = jnp.sqrt((phi_int ** 2).sum(axis=0))
+            phi_int = phi_int / norms
+            phi = scatter_interior(phi_int)
+            Aphi = A_cols_I @ phi_int
+            Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
+            return (phi.reshape(n_nodes, C, C),
+                    Aphi.reshape(n_nodes, C, C))
+
+        self._finish_split = (finish_pre, finish_post, slod, use_jacobi, cD)
         return prep, finish, one_patch
 
     def _uniform_patch_fn(self):
@@ -444,6 +517,13 @@ class BasisKernels:
         vfinish = jax.vmap(finish)
 
         algo = self.cfg.fused_algo
+        finish_pre, finish_post, slod, use_jacobi, cD = self._finish_split
+        split_eig = slod and use_jacobi
+        vpre = jax.vmap(finish_pre)
+        vpost = jax.vmap(finish_post)
+        from dealii_slod_tpu.ops.eig import jacobi_eigh_pallas
+        cfg = self.cfg
+        C = self.C
 
         def cfn(coef_list, nlo, nhi, sides):
             A_raw, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
@@ -454,7 +534,17 @@ class BasisKernels:
             # A_raw flows through HBM to the trace/premultiply stage (a
             # chunk of (B, nD, nD) matrices is ~2 GB of traffic — ms — vs
             # re-running the scatter-heavy assembly, ~0.75 s per pass)
-            return vfinish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides)
+            if not split_eig:
+                return vfinish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides)
+            # hoisted spectral stage: ONE batched Pallas Jacobi call over
+            # the whole chunk (B*C Gram matrices share each VPU pass)
+            Tinv, G, g0 = vpre(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides)
+            B = G.shape[0]
+            lam, V = jacobi_eigh_pallas(G.reshape(B * C, cD, cD),
+                                        sweeps=cfg.eig_sweeps,
+                                        tol=cfg.eig_tol)
+            return vpost(A_raw, Ainv_PT, Tinv, lam.reshape(B, C, cD),
+                         V.reshape(B, C, cD, cD), g0, cvd, nlo, nhi, sides)
 
         return cfn
 

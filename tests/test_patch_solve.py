@@ -54,3 +54,28 @@ def test_fused_pipeline_matches_lax_path():
     Aa, Ab = out["lax"][1], out["fused"][1]
     assert np.abs(Aa - Ab).max() < 1e-6 * np.abs(Aa).max()
     np.testing.assert_allclose(out["lax"][2], out["fused"][2], atol=1e-5)
+
+
+def test_fused_hoisted_eig_matches_lax_path():
+    """The chunk kernel's hoisted spectral stage (one batched Pallas Jacobi
+    call outside the vmap) must agree with the in-vmap lax path."""
+    import numpy as np
+    from dealii_slod_tpu.config import SLODConfig
+    from dealii_slod_tpu.models import DiffusionProblem, LODSolver
+
+    kw = dict(dim=2, n_global_refinements=3, n_subdivisions=2, oversampling=2,
+              lod_stabilization=True, constant_coefficients=False, coef_seed=3,
+              rhs="1", bc="0", dtype="float64", write_output=False)
+    out = {}
+    for mode, eig in (("lax", "lax"), ("fused", "jacobi")):
+        cfg = SLODConfig(**kw, patch_solver=mode, eig_solver=eig)
+        s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+        s.compute_basis()
+        s.assemble_coarse_operator()
+        s.assemble_fine_rhs()
+        u = s.solve_coarse()
+        out[mode] = (np.asarray(u), np.asarray(s.A_stencil))
+    ua, ub = out["lax"][0], out["fused"][0]
+    assert np.abs(ua - ub).max() < 1e-6 * np.abs(ua).max()
+    Aa, Ab = out["lax"][1], out["fused"][1]
+    assert np.abs(Aa - Ab).max() < 1e-6 * np.abs(Aa).max()
