@@ -157,23 +157,38 @@ def assemble_bands(coefs: Dict[str, jnp.ndarray], band_tensors,
 
 def bands_to_dense(band: jnp.ndarray, node_dims) -> jnp.ndarray:
     """(n_nodes, 3^dim, C, C) bands -> dense (n_nodes*C, n_nodes*C) via the
-    banded-stride embedding (zero scatters; wrap positions are provably zero
-    because the clipped subcell windows zero them)."""
+    banded-stride embedding, realized entirely with pads + reshapes.
+
+    Row i's stencil entry for flat offset delta sits at dense flat position
+    i*nN + (i + delta) = i*(nN+1) + delta, so a row-major (nN, nN+1) buffer
+    whose columns hold the offsets (shifted by ``shift`` = sum of strides so
+    they are nonnegative) reproduces the dense matrix after one flat slice.
+    The offset axis is expanded 3 -> node stride per spatial axis by *right
+    padding + merge* (a dilation), never a scatter; wrap positions are
+    provably zero because the clipped subcell windows zero them."""
     nN, O, C, _ = band.shape
     dims = np.asarray(node_dims)
     dim = len(dims)
-    offs = cartesian_coords(np.full(dim, 3)) - 1
-    strides = np.concatenate([[1], np.cumprod(dims[:-1])])
-    deltas = (offs * strides).sum(axis=1).astype(int)  # (O,) flat offsets
+    strides = np.concatenate([[1], np.cumprod(dims[:-1])]).astype(int)
+    shift = int(strides.sum())
 
-    X2 = jnp.zeros((nN + 1, nN + 1, C, C), band.dtype)
-    for oi, d in enumerate(deltas):
-        if d >= 0:
-            X2 = X2.at[:nN, d].set(band[:, oi])
-        else:
-            X2 = X2.at[:nN - 1, nN + 1 + d].set(band[1:, oi])
-    F = X2.reshape((nN + 1) * (nN + 1), C, C)[:nN * nN]
-    F = F.reshape(nN, nN, C, C)
+    # offset axes slowest..fastest (x last), matching the x-fastest column
+    # ravel of cartesian_coords
+    x = band.reshape((nN,) + (3,) * dim + (C, C))
+    flat_len = 3
+    for k in range(dim - 1):
+        # pad the merged fast block to the next stride, absorb next axis
+        cfg_pad = [(0, 0)] * x.ndim
+        cfg_pad[dim - k] = (0, int(strides[k + 1]) - flat_len)
+        x = jnp.pad(x, cfg_pad)
+        flat_len = int(strides[k + 1]) * 3
+        new_shape = x.shape[:dim - k - 1] + (flat_len,) + x.shape[dim - k + 1:]
+        x = x.reshape(new_shape)
+    # x: (nN, F, C, C) with F = 3 * strides[-1]; columns c = delta + shift
+    pad_cols = nN + 1 - flat_len
+    x = jnp.pad(x, [(0, 0), (0, pad_cols), (0, 0), (0, 0)])
+    F = x.reshape((nN * (nN + 1),) + (C, C))
+    F = F[shift:shift + nN * nN].reshape(nN, nN, C, C)
     if C == 1:
         return F[:, :, 0, 0]
     return jnp.moveaxis(F, 2, 1).reshape(nN * C, nN * C)
