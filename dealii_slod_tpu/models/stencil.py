@@ -151,14 +151,67 @@ class StencilOps:
             own=own, k2map=k2map, K=K, K2=K2, O=O)
         return self._cell_tab
 
+    def _shift_slots(self, X, slots_per_axis):
+        """Slot-indexed lattice shift: out[e, k, :] = X[e + (ell - k), k, :]
+        (vector offsets per axis, zero off-lattice), realized as ``dim *
+        slots_per_axis`` static pad/slice stacks — no gathers.  ``X``:
+        (E, slots_per_axis^dim, rest...) with x-fastest flat indices."""
+        cfg = self.cfg
+        dim = cfg.dim
+        N = cfg.n_coarse
+        ell = cfg.oversampling
+        Kx = slots_per_axis
+        rest = X.shape[2:]
+        X = X.reshape((N,) * dim + (Kx,) * dim + rest)
+        for a in range(dim):                 # spatial axis a (x fastest)
+            lat_ax = dim - 1 - a
+            slot_ax = dim + (dim - 1 - a)
+            parts = []
+            for kv in range(Kx):
+                d = ell - kv
+                Xi = jax.lax.index_in_dim(X, kv, axis=slot_ax, keepdims=True)
+                pad = [(0, 0)] * Xi.ndim
+                if d >= 0:
+                    lo = min(d, N)          # |d| >= N: all off-lattice
+                    Xi = jax.lax.slice_in_dim(Xi, lo, N, axis=lat_ax)
+                    pad[lat_ax] = (0, lo)
+                else:
+                    hi = max(N + d, 0)
+                    Xi = jax.lax.slice_in_dim(Xi, 0, hi, axis=lat_ax)
+                    pad[lat_ax] = (N - hi, 0)
+                parts.append(jnp.pad(Xi, pad))
+            X = jnp.concatenate(parts, axis=slot_ax)
+        return X.reshape((N ** dim, Kx ** dim) + rest)
+
+    def _slot_match_matrix(self):
+        """Dense 0/1 matrix M[(k1, k2), j] of the slot-correlation relation
+        k2 == k1 - delta_j (flattened over the extended slot grid) — the
+        whole correlation then is ONE MXU matmul instead of dim separable
+        einsums over tiny axes (whose (.., 5,5,5, 6,6,6) layouts tile-pad
+        ~28x on TPU)."""
+        tab = self._cell_tables()
+        K, K2 = tab["K"], tab["K2"]
+        M3 = np.zeros((K, K2, self.n_stencil), dtype=np.float32)
+        for k1 in range(K):
+            for j in range(self.n_stencil):
+                m = tab["k2map"][k1, j]
+                if m >= 0:
+                    M3[k1, m, j] = 1.0
+        return M3.reshape(K * K2, self.n_stencil)
+
     def _stencil_build_cells(self, Phi, APhi):
-        """Cell-decomposed stencil build: one batched contraction over
-        owned nodes, one row gather of the cell-pair table onto the patch
-        axis, then ``dim`` small *separable* indicator contractions that
-        realize the slot correlation  A_st[q, delta] = sum_k1 G2[q, k1,
-        k1 - delta]  axis by axis — replacing a K-times-unrolled
-        gather/accumulate loop (K = 125 in 3D at l=2) that dominated both
-        compile time and HBM write traffic."""
+        """Cell-decomposed stencil build, gather-free form:
+
+        1. canvas pick: Y[q, (k, o)] = Phi_q[cnode(k, o)] — one ``take``
+           with a shared constant index vector,
+        2. lattice alignment: Pc[e, k, o] = Y[e + (ell - k), k, o] — static
+           pad/slice stacks per axis (`_shift_slots`; the old flat gather of
+           ~14M/24M elements was ~0.5 s on TPU),
+        3. owned-node contraction T[e, k, m] = sum_{o,c} Pc . Ac,
+        4. patch rows G2[q, k1] = T[e(q, k1), k1] (small row gather),
+        5. slot correlation as ONE dense indicator matmul with
+           `_slot_match_matrix` (replaces the separable einsums whose tiny
+           trailing axes tile-padded ~28x)."""
         C = self.C
         P = self.topo.n_patches
         dim = self.cfg.dim
@@ -167,40 +220,37 @@ class StencilOps:
         tab = self._cell_tables()
         K, K2, O = tab["K"], tab["K2"], tab["O"]
 
-        def cell_table(X, which):
-            # (E, Kx, O, C, C) values of the covering patches at owned nodes
-            p_idx = tab[f"p_idx{which}"]
-            t = X[p_idx[:, :, None], tab[f"cnode{which}"][None, :, :]]
-            mask = (tab[f"pvalid{which}"][:, :, None]
-                    & tab[f"incv{which}"][None, :, :]
-                    & tab["own"])
-            return t * mask[:, :, :, None, None]
+        CC = C * C
 
-        Pc = cell_table(Phi.reshape(P, self.canvas_n, C, C), 1)
-        Ac = cell_table(APhi.reshape(P, self.canvas_n, C, C), 2)
-        T = jnp.einsum("ekocd,emocf->ekmdf", Pc, Ac)     # (E, K, K2, C, C)
+        def side_table(X, which, slots_per_axis):
+            cn = jnp.asarray(tab[f"cnode{which}"].reshape(-1))
+            Y = jnp.take(X, cn, axis=1)                   # (P, Kx*O, C, C)
+            incv = jnp.asarray(
+                tab[f"incv{which}"].reshape(-1).astype(np.float32),
+                X.dtype)
+            Y = Y * incv[None, :, None, None]
+            Kx = slots_per_axis ** dim
+            Y = Y.reshape(P, Kx, O * CC)
+            return self._shift_slots(Y, slots_per_axis)   # (E, Kx, O*CC)
+
+        Pc = side_table(Phi.reshape(P, self.canvas_n, C, C), 1, kappa)
+        Ac = side_table(APhi.reshape(P, self.canvas_n, C, C), 2, kappa + 1)
+        # owned-node mask on one side only (idempotent in the product)
+        own = jnp.asarray(tab["own"].astype(np.float32), Phi.dtype)
+        Ac = (Ac.reshape(P, K2, O, CC)
+              * own[:, :, :, None]).reshape(P, K2, O * CC)
+        # contraction over (owned node, dof component): the (o, c) pair is
+        # the fused middle axis; d/f are the basis-column blocks
+        PcT = Pc.reshape(P, K, O, C, C)
+        AcT = Ac.reshape(P, K2, O, C, C)
+        T = jnp.einsum("ekocd,emocf->ekmdf", PcT, AcT)    # (E, K, K2, C, C)
         # cell-pair rows onto the patch axis: G2[q, k1] = T[e(q, k1), k1]
         G2 = T[jnp.asarray(tab["e_idx"]), jnp.arange(K)[None, :]]
         G2 = G2 * tab["evalid"][:, :, None, None, None]
-        # per-axis slot-match indicator: M[k, m, j] = 1 iff m == k - (j - R)
-        # (the per-axis factor of the k2map relation, LOD.cc
-        # compute_mmult_pattern analog); invalid slot pairs simply no-match.
-        M = jnp.asarray(
-            (np.arange(kappa)[:, None, None]
-             - (np.arange(S1)[None, None, :] - self.stencil_R)
-             == np.arange(kappa + 1)[None, :, None]).astype(self.dtype))
-        # reshape flat slot axes to per-axis grids (ravel is axis-0-fastest,
-        # so the reshaped order is reversed: spatial axis dim-1 first)
-        X = G2.reshape((P,) + (kappa,) * dim + (kappa + 1,) * dim + (C, C))
-        kL, mL, jL = "abc"[:dim], "uvw"[:dim], "ijl"[:dim]
-        sub = "p" + kL + mL + "xy"
-        for a in range(dim):
-            out = sub.replace(kL[a], "").replace(mL[a], "")
-            out = out[:-2] + jL[a] + "xy"
-            X = jnp.einsum(f"{sub},{kL[a]}{mL[a]}{jL[a]}->{out}", X, M)
-            sub = out
-        # axes now (P, j_{dim-1}, ..., j_0, C, C): flat index axis-0-fastest
-        return X.reshape(P, self.n_stencil, C, C)
+        # slot correlation as one dense indicator matmul
+        M3 = jnp.asarray(self._slot_match_matrix(), self.dtype)
+        A_st = jnp.einsum("pxc,xj->pjc", G2.reshape(P, K * K2, CC), M3)
+        return A_st.reshape(P, self.n_stencil, C, C)
 
     def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:
         """Stencil matvec A_LOD u: the neighbor values u[q + delta] are
