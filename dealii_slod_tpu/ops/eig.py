@@ -59,7 +59,8 @@ def _ring_permutation(n: int) -> np.ndarray:
     return perm
 
 
-def _caterpillar_round(XT, XB, JT, JB, eps, off=None):
+def _caterpillar_round(XT, XB, JT, JB, eps, off=None, amax2=None,
+                       null_rel=1e-9):
     """One parallel Jacobi round in the (top, bottom) pair layout.
 
     Rows 2k / 2k+1 of the working matrix live in XT[:, k] / XB[:, k]; the
@@ -69,12 +70,21 @@ def _caterpillar_round(XT, XB, JT, JB, eps, off=None):
 
     When ``off`` is given, the maximum squared row-cosine of the round
     (max c^2 / (a b) over pairs and batch) is folded into it — the
-    convergence monitor for adaptive sweep counts."""
+    convergence monitor for adaptive sweep counts.  Pairs whose row-norm
+    product is below ``null_rel`` times the matrix's largest row norm
+    squared are EXCLUDED from the monitor (with ``amax2`` the per-matrix
+    max row norm^2): numerically-null rows keep a random mutual angle
+    forever (their cosine is pure rounding noise), which otherwise pins
+    ``off`` near 1 and defeats the early exit — while their eigenpairs are
+    below f32 resolution and get truncated by the pseudo-inverse anyway."""
     a = jnp.sum(XT * XT, axis=-1, keepdims=True)
     b = jnp.sum(XB * XB, axis=-1, keepdims=True)
     c = jnp.sum(XT * XB, axis=-1, keepdims=True)
     if off is not None:
         cos2 = (c * c) / (a * b + eps)
+        if amax2 is not None:
+            # pair significant iff lam_i * lam_j > null_rel * lam_max^2
+            cos2 = jnp.where(a * b > (null_rel * amax2) ** 2, cos2, 0.0)
         off = jnp.maximum(off, jnp.max(cos2))
     safe_c = jnp.where(jnp.abs(c) > eps, c, 1.0)
     zeta = (b - a) / (2.0 * safe_c)
@@ -146,12 +156,17 @@ def jacobi_eigh_onesided(G: jnp.ndarray, sweeps: int = 10,
         XT, XB, JT, JB = jax.lax.fori_loop(
             0, (n - 1) * sweeps, body, (XT, XB, JT, JB))
     else:
+        a0 = jnp.sum(XT * XT, axis=-1, keepdims=True)
+        b0 = jnp.sum(XB * XB, axis=-1, keepdims=True)
+        amax2 = jnp.max(jnp.maximum(a0, b0), axis=-2, keepdims=True)
+
         def sweep(carry):
             XT, XB, JT, JB, it, _ = carry
             off0 = jnp.zeros((), G.dtype)
 
             def body(r, c2):
-                return _caterpillar_round(*c2[:4], eps, off=c2[4])
+                return _caterpillar_round(*c2[:4], eps, off=c2[4],
+                                          amax2=amax2)
 
             XT, XB, JT, JB, off = jax.lax.fori_loop(
                 0, n - 1, body, (XT, XB, JT, JB, off0))
@@ -227,7 +242,6 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
         col = jax.lax.broadcasted_iota(jnp.int32, (block, m, n), 2)
         JT = (col == 2 * row).astype(XT.dtype)
         JB = (col == 2 * row + 1).astype(XT.dtype)
-
         if tol <= 0.0:
             def body(r, carry):
                 return _caterpillar_round(*carry, eps)
@@ -235,12 +249,17 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
             XT, XB, JT, JB = jax.lax.fori_loop(
                 0, rounds, body, (XT, XB, JT, JB))
         else:
+            a0 = jnp.sum(XT * XT, axis=-1, keepdims=True)
+            b0 = jnp.sum(XB * XB, axis=-1, keepdims=True)
+            amax2 = jnp.max(jnp.maximum(a0, b0), axis=-2, keepdims=True)
+
             def sweep(carry):
                 XT, XB, JT, JB, it, _ = carry
                 off0 = jnp.zeros((), XT.dtype)
 
                 def body(r, c2):
-                    return _caterpillar_round(*c2[:4], eps, off=c2[4])
+                    return _caterpillar_round(*c2[:4], eps, off=c2[4],
+                                              amax2=amax2)
 
                 XT, XB, JT, JB, off = jax.lax.fori_loop(
                     0, n - 1, body, (XT, XB, JT, JB, off0))

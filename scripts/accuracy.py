@@ -39,14 +39,20 @@ cfg = SLODConfig(dim=3, n_global_refinements={refine}, n_subdivisions=2,
                  constant_coefficients=False, coef_seed=0, coef_refinement=5,
                  rhs="1", bc="0", dtype=dtype, patch_chunk=256,
                  solve_fine_problem=False,
+                 matmul_precision=__import__("os").environ.get(
+                     "ACC_PRECISION", "high"),
+                 eig_sweeps=12, eig_tol=1e-9,
                  coarse_solver=ReductionControl(1000, 1e-12, 1e-10))
 s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
 s.compute_basis(); s.assemble_coarse_operator(); s.assemble_fine_rhs()
-u = s.solve_coarse()
+s.solve_coarse()
+u = s.prolong_lod_solution()   # PHYSICAL (basis-gauge-invariant) field:
+# the sigma-truncation's discrete ||d||<0.5 decisions may differ between
+# precisions, giving a different-but-equivalent stabilized basis; coarse
+# coefficient vectors are therefore not comparable across dtypes
 assert np.isfinite(np.asarray(s.Phi)).all(), "non-finite basis"
 np.save(f"/tmp/acc_{{dtype}}.npy", np.asarray(u, np.float64))
 np.save(f"/tmp/acc_A_{{dtype}}.npy", np.asarray(s.A_stencil, np.float64))
-np.save(f"/tmp/acc_P_{{dtype}}.npy", np.asarray(s.Phi, np.float64))
 print("done", dtype)
 """
 
@@ -66,9 +72,7 @@ if what in ("all", "report"):
     u64 = np.load("/tmp/acc_float64.npy")
     A32 = np.load("/tmp/acc_A_float32.npy")
     A64 = np.load("/tmp/acc_A_float64.npy")
-    P32 = np.load("/tmp/acc_P_float32.npy")
-    P64 = np.load("/tmp/acc_P_float64.npy")
     rel = lambda a, b: float(np.abs(a - b).max() / np.abs(b).max())
-    print(f"coarse solution rel err : {rel(u32, u64):.3e}")
-    print(f"stencil operator rel err: {rel(A32, A64):.3e}")
-    print(f"basis canvas rel err    : {rel(P32, P64):.3e}")
+    print(f"lod solution rel err (fine field): {rel(u32, u64):.3e}")
+    print(f"stencil operator rel err (gauge-dependent diagnostic): "
+          f"{rel(A32, A64):.3e}")
