@@ -201,20 +201,84 @@ def _finalize_onesided(XT, XB, JT, JB, n0, batch_shape):
             V.reshape(batch_shape + (n0, n0)))
 
 
+def _caterpillar_round_nj(XT, XB, aT, bB, eps, off=None, amax2=None,
+                          null_rel=1e-9):
+    """`_caterpillar_round` without the J accumulation and with carried row
+    norms — for PSD inputs the converged rows of X = J G are
+    lambda_i v_i^T directly (X X^T diagonal means (J V) Lambda^2 (J V)^T
+    diagonal, so J V is a signed permutation and X = +-Lambda_perm
+    V_perm^T): eigenvectors come from normalizing X's rows, and the row
+    norms evolve analytically under each rotation (the per-pair trace
+    identity a' = cs^2 a - 2 cs sn c + sn^2 b), so the only cross-lane
+    reduction per round is the pair dot ``c`` — the reductions were the
+    dominant per-round cost."""
+    a, b = aT, bB
+    c = jnp.sum(XT * XB, axis=-1, keepdims=True)
+    if off is not None:
+        cos2 = (c * c) / (a * b + eps)
+        if amax2 is not None:
+            cos2 = jnp.where(a * b > (null_rel * amax2) ** 2, cos2, 0.0)
+        off = jnp.maximum(off, jnp.max(cos2))
+    safe_c = jnp.where(jnp.abs(c) > eps, c, 1.0)
+    zeta = (b - a) / (2.0 * safe_c)
+    sgn = jnp.where(zeta >= 0, 1.0, -1.0).astype(zeta.dtype)
+    t = sgn / (jnp.abs(zeta) + jnp.sqrt(1.0 + zeta * zeta))
+    t = jnp.where(jnp.abs(c) > eps, t, 0.0)
+    cs = jax.lax.rsqrt(1.0 + t * t)
+    sn = cs * t
+    nT = cs * XT - sn * XB
+    nB = sn * XT + cs * XB
+    csnc = cs * sn * c
+    a2 = cs * cs * a - 2.0 * csnc + sn * sn * b
+    b2 = sn * sn * a + 2.0 * csnc + cs * cs * b
+
+    def advance(T, B):
+        if T.shape[1] == 1:
+            return T, B
+        Tn = jnp.concatenate([T[:, :1], B[:, :1], T[:, 1:-1]], axis=1)
+        Bn = jnp.concatenate([B[:, 1:], T[:, -1:]], axis=1)
+        return Tn, Bn
+
+    XT, XB = advance(nT, nB)
+    aT, bB = advance(a2, b2)
+    if off is not None:
+        return XT, XB, aT, bB, off
+    return XT, XB, aT, bB
+
+
+def _finalize_rows(XT, XB, n0, batch_shape):
+    """PSD X-row finalize: eigenvalues = row norms, eigenvectors =
+    normalized rows (valid because X = +-Lambda_perm V_perm^T at
+    convergence); zero rows (including the odd-n pad row, which never
+    rotates: its dot with any row is exactly 0) sort last and yield v = 0 —
+    harmless, since their pseudo-inverse weight is truncated anyway."""
+    X = jnp.concatenate([XT, XB], axis=1)      # (B, n, n)
+    lam = jnp.sqrt(jnp.sum(X * X, axis=-1))    # (B, n)
+    order = jnp.argsort(-lam, axis=-1)[:, :n0]
+    lam_s = jnp.take_along_axis(lam, order, axis=-1)
+    X_s = jnp.take_along_axis(X, order[:, :, None], axis=1)[:, :, :n0]
+    V_rows = X_s / jnp.maximum(lam_s[:, :, None], 1e-30)
+    V = jnp.swapaxes(V_rows, -1, -2)           # eigenvectors as columns
+    return (lam_s.reshape(batch_shape + (n0,)),
+            V.reshape(batch_shape + (n0, n0)))
+
+
 def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
                        tol: float = 0.0):
-    """One-sided Jacobi eigensolver as a Pallas TPU kernel.
+    """One-sided Jacobi eigensolver as a Pallas TPU kernel (PSD inputs).
 
-    The (top, bottom, J-top, J-bottom) working arrays stay **VMEM-resident
-    across all (n-1)*sweeps rounds** — HBM traffic is exactly one load of G
-    and one store of the results, vs O(rounds) full-matrix round trips for
-    the XLA while-loop formulation.  Rounds are pure VPU work (row dots,
-    rotations) plus static slice/concat shuffles (the caterpillar), so no
-    gathers/scatters reach Mosaic.
+    The (top, bottom) working arrays stay **VMEM-resident across all
+    (n-1)*sweeps rounds** — HBM traffic is exactly one load of G and one
+    store of the results, vs O(rounds) full-matrix round trips for the XLA
+    while-loop formulation.  Rounds are pure VPU work (row dots, rotations)
+    plus static slice/concat shuffles (the caterpillar), so no
+    gathers/scatters reach Mosaic.  No Jacobi-rotation accumulator is
+    carried: for PSD G the converged rows ARE lambda_i v_i^T
+    (`_finalize_rows`), which halves the per-round work.
 
     ``tol > 0``: adaptive sweep count — each block stops as soon as every
-    pair's squared row-cosine in its previous sweep fell below ``tol``
-    (typical patches converge in ~6 sweeps; ``sweeps`` is the maximum)."""
+    significant pair's squared row-cosine in its previous sweep fell below
+    ``tol`` (``sweeps`` is the maximum)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -235,47 +299,55 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
     XT0, XB0 = G[:, 0::2, :], G[:, 1::2, :]
     rounds = (n - 1) * sweeps
 
-    def kernel(xt_ref, xb_ref, xto_ref, xbo_ref, jto_ref, jbo_ref):
+    def kernel(xt_ref, xb_ref, xto_ref, xbo_ref):
         XT = xt_ref[:]
         XB = xb_ref[:]
-        row = jax.lax.broadcasted_iota(jnp.int32, (block, m, n), 1)
-        col = jax.lax.broadcasted_iota(jnp.int32, (block, m, n), 2)
-        JT = (col == 2 * row).astype(XT.dtype)
-        JB = (col == 2 * row + 1).astype(XT.dtype)
+        a0 = jnp.sum(XT * XT, axis=-1, keepdims=True)
+        b0 = jnp.sum(XB * XB, axis=-1, keepdims=True)
+        # carried norms are refreshed EXACTLY at every sweep boundary: the
+        # analytic updates drift for rows spanning ~10 orders of magnitude
+        # (cancellation in cs^2 a - 2 cs sn c + sn^2 b), and stale norms
+        # steer later rotations wrong
         if tol <= 0.0:
-            def body(r, carry):
-                return _caterpillar_round(*carry, eps)
+            def sweep_f(s, carry):
+                XT, XB = carry[:2]
+                aT = jnp.sum(XT * XT, axis=-1, keepdims=True)
+                bB = jnp.sum(XB * XB, axis=-1, keepdims=True)
 
-            XT, XB, JT, JB = jax.lax.fori_loop(
-                0, rounds, body, (XT, XB, JT, JB))
+                def body(r, c2):
+                    return _caterpillar_round_nj(*c2, eps)
+
+                XT, XB, _, _ = jax.lax.fori_loop(
+                    0, n - 1, body, (XT, XB, aT, bB))
+                return XT, XB
+
+            XT, XB = jax.lax.fori_loop(0, sweeps, sweep_f, (XT, XB))
         else:
-            a0 = jnp.sum(XT * XT, axis=-1, keepdims=True)
-            b0 = jnp.sum(XB * XB, axis=-1, keepdims=True)
             amax2 = jnp.max(jnp.maximum(a0, b0), axis=-2, keepdims=True)
 
             def sweep(carry):
-                XT, XB, JT, JB, it, _ = carry
+                XT, XB, it, _ = carry
+                aT = jnp.sum(XT * XT, axis=-1, keepdims=True)
+                bB = jnp.sum(XB * XB, axis=-1, keepdims=True)
                 off0 = jnp.zeros((), XT.dtype)
 
                 def body(r, c2):
-                    return _caterpillar_round(*c2[:4], eps, off=c2[4],
-                                              amax2=amax2)
+                    return _caterpillar_round_nj(*c2[:4], eps, off=c2[4],
+                                                 amax2=amax2)
 
-                XT, XB, JT, JB, off = jax.lax.fori_loop(
-                    0, n - 1, body, (XT, XB, JT, JB, off0))
-                return XT, XB, JT, JB, it + 1, off
+                XT, XB, aT, bB, off = jax.lax.fori_loop(
+                    0, n - 1, body, (XT, XB, aT, bB, off0))
+                return XT, XB, it + 1, off
 
             def cond(carry):
-                return (carry[4] < sweeps) & (carry[5] > tol)
+                return (carry[2] < sweeps) & (carry[3] > tol)
 
-            XT, XB, JT, JB, _, _ = jax.lax.while_loop(
+            XT, XB, _, _ = jax.lax.while_loop(
                 cond, sweep,
-                (XT, XB, JT, JB, jnp.zeros((), jnp.int32),
+                (XT, XB, jnp.zeros((), jnp.int32),
                  jnp.asarray(np.finfo(np.float32).max, XT.dtype)))
         xto_ref[:] = XT
         xbo_ref[:] = XB
-        jto_ref[:] = JT
-        jbo_ref[:] = JB
 
     on_tpu = jax.default_backend() == "tpu"
     spec = pl.BlockSpec((block, m, n), lambda i: (i, 0, 0),
@@ -284,13 +356,13 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
         kernel,
         grid=(B // block,),
         in_specs=[spec, spec],
-        out_specs=(spec,) * 4,
+        out_specs=(spec,) * 2,
         out_shape=tuple(jax.ShapeDtypeStruct((B, m, n), G.dtype)
-                        for _ in range(4)),
+                        for _ in range(2)),
         interpret=not on_tpu,
     )(XT0, XB0)
-    XT, XB, JT, JB = (o[:B0] for o in out)
-    return _finalize_onesided(XT, XB, JT, JB, n0, batch_shape)
+    XT, XB = (o[:B0] for o in out)
+    return _finalize_rows(XT, XB, n0, batch_shape)
 
 
 @partial(jax.jit, static_argnames=("sweeps",))
