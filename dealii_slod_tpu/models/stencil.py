@@ -254,24 +254,41 @@ class StencilOps:
 
     def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:
         """Stencil matvec A_LOD u: the neighbor values u[q + delta] are
-        extracted as structured windows over the coarse lattice
-        (``conv_general_dilated_patches`` — one fused XLA window op) instead
-        of a (P, S) random gather, which on TPU was ~20 ms per matvec
-        (gather-bound) vs ~1 ms for the window form."""
+        built by per-axis pad/slice stacks over the coarse lattice (zero
+        off-lattice — the domain-validity mask) and contracted with the
+        stencil blocks.  A (2R+1)^dim-tap ``conv_general_dilated_patches``
+        was runtime-equivalent but its 3D many-channel lowering took
+        minutes of XLA compile time; a (P, S) random gather was ~20 ms per
+        matvec (gather-bound).  This form is 3(2R+1) static slices."""
         cfg, C = self.cfg, self.C
         R = self.stencil_R
         dim = cfg.dim
-        grid = _rev(self.grid.cell_dims)                      # (z, y, x)
-        ug = u.reshape(grid + (C,))
-        ug = jnp.moveaxis(ug, -1, 0)[None]                    # (1, C, z, y, x)
-        # out channel = c * S + f with filter positions raveled row-major
-        # over (z, y, x), i.e. x fastest — matching the stencil_offsets
-        # ravel; zero padding realizes the domain-validity mask
-        patches = jax.lax.conv_general_dilated_patches(
-            ug, filter_shape=(2 * R + 1,) * dim,
-            window_strides=(1,) * dim, padding=[(R, R)] * dim)
-        u_nb = patches.reshape(C, self.n_stencil, -1)         # (C, S, P)
-        return jnp.einsum("psde,esp->pd", A_st, u_nb)
+        N = cfg.n_coarse
+        S1 = 2 * R + 1
+        X = u.reshape(_rev(self.grid.cell_dims) + (C,))       # (z, y, x, C)
+        # append neighbor axes slowest-first (j_{dim-1} .. j_0) so the
+        # final reshape gives the x-fastest flat stencil index
+        for a in range(dim - 1, -1, -1):
+            lat_ax = dim - 1 - a
+            parts = []
+            for jv in range(S1):
+                d = jv - R                    # out[e] = in[e + d]
+                pad = [(0, 0)] * X.ndim
+                if d >= 0:
+                    lo = min(d, N)
+                    Xi = jax.lax.slice_in_dim(X, lo, N, axis=lat_ax)
+                    pad[lat_ax] = (0, lo)
+                else:
+                    hi = max(N + d, 0)
+                    Xi = jax.lax.slice_in_dim(X, 0, hi, axis=lat_ax)
+                    pad[lat_ax] = (N - hi, 0)
+                parts.append(jnp.pad(Xi, pad)[..., None])
+            # new axis inserted after the earlier j axes (slowest-first
+            # j order: j_{dim-1}, ..., j_0 -> x-fastest flat index)
+            X = jnp.concatenate(parts, axis=-1)
+            X = jnp.moveaxis(X, -1, dim + (dim - 1 - a))
+        u_nb = X.reshape(self.topo.n_patches, self.n_stencil, C)
+        return jnp.einsum("psde,pse->pd", A_st, u_nb)
 
     def coarse_matvec(self, u: jnp.ndarray) -> jnp.ndarray:
         """u: (P, C) -> A_LOD u (P, C) via stencil gather."""
