@@ -231,7 +231,8 @@ class BasisKernels:
         # a full-domain patch has no 99-boundary dofs, so BD == 0 and the
         # SLOD formula degenerates exactly to the LOD candidate.
         slod = cfg.lod_stabilization and cfg.oversampling > 0
-        from dealii_slod_tpu.ops.eig import jacobi_eigh_pallas
+        from dealii_slod_tpu.ops.eig import jacobi_eigh_factor \
+            as _jacobi_factor
         use_jacobi = (cfg.eig_solver == "jacobi"
                       or (cfg.eig_solver == "auto"
                           and dt == jnp.float32
@@ -359,8 +360,10 @@ class BasisKernels:
                     # same semantics as compute_inverse_svd (LOD.cc:667)
                     if use_jacobi:
                         # VMEM-resident Pallas one-sided Jacobi (ops/eig.py)
-                        # with adaptive sweeps (typical patches stop ~6)
-                        lam, V = jacobi_eigh_pallas(
+                        # in factor form: Jacobi on the jittered Cholesky
+                        # factor sees the SQUARE ROOT of the Gram's dynamic
+                        # range (Demmel-Veselic), ~10x better f32 accuracy
+                        lam, V = _jacobi_factor(
                             G, sweeps=cfg.eig_sweeps, tol=cfg.eig_tol)
                     else:
                         lam, V = jnp.linalg.eigh(G)
@@ -521,7 +524,7 @@ class BasisKernels:
         split_eig = slod and use_jacobi
         vpre = jax.vmap(finish_pre)
         vpost = jax.vmap(finish_post)
-        from dealii_slod_tpu.ops.eig import jacobi_eigh_pallas
+        from dealii_slod_tpu.ops.eig import jacobi_eigh_factor
         cfg = self.cfg
         C = self.C
 
@@ -540,7 +543,7 @@ class BasisKernels:
             # the whole chunk (B*C Gram matrices share each VPU pass)
             Tinv, G, g0 = vpre(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides)
             B = G.shape[0]
-            lam, V = jacobi_eigh_pallas(G.reshape(B * C, cD, cD),
+            lam, V = jacobi_eigh_factor(G.reshape(B * C, cD, cD),
                                         sweeps=cfg.eig_sweeps,
                                         tol=cfg.eig_tol)
             return vpost(A_raw, Ainv_PT, Tinv, lam.reshape(B, C, cD),
