@@ -494,8 +494,19 @@ class BasisKernels:
     def _use_fused_solver(self) -> bool:
         mode = self.cfg.patch_solver
         if mode == "auto":
-            return (self.dtype == jnp.float32
-                    and jax.default_backend() == "tpu")
+            if not (self.dtype == jnp.float32
+                    and jax.default_backend() == "tpu"):
+                return False
+            # VMEM guard: the fused kernel keeps a (bs, n, n) scratch copy
+            # of the padded interior matrix resident (+ RHS buffers); fall
+            # back to the XLA path when that exceeds the ~16 MB VMEM (e.g.
+            # 3D elasticity: n = 3 * 729 -> ~20 MB at bs=1)
+            sc = self.canvas_class
+            n = -(-sc.n_interior * self.C // 128) * 128
+            k = -(-sc.n_coarse_dofs_local // 128) * 128
+            bs = max(1, self.cfg.fused_block)
+            vmem = 4 * (bs * n * n + 4 * bs * n * k)
+            return vmem <= 12 * 2 ** 20
         return mode == "fused"
 
     def _uniform_chunk_fn(self):
