@@ -423,10 +423,12 @@ class BasisKernels:
                      | (on_hi & ~sides_dom[1::2])).any(axis=1) & node_in)
             return isdom, is99
 
-        def finish_pre(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides_dom):
+        def finish_pre(A_raw, Ainv_PT, Tinv, cvd, nlo, nhi, sides_dom):
             """Per-patch Gram matrices + projections for the SLOD spectral
-            least squares (everything before the eigendecomposition)."""
-            Tinv = spd_inverse(T)
+            least squares (everything before the eigendecomposition).
+            ``Tinv`` is computed by the caller (hoisted batched Gauss-Jordan
+            on TPU — under vmap the batched Cholesky degrades to per-matrix
+            scalar chains)."""
             A_cols_I = interior_cols(A_raw)
             _, is99 = edge_masks(nlo, nhi, sides_dom)
             is99d = jnp.repeat(is99, C).astype(dt)
@@ -441,7 +443,7 @@ class BasisKernels:
                 newBD = BD * colmask[None, :]
                 Gs.append(newBD.T @ newBD)
                 g0s.append(newBD.T @ BD[:, cen])
-            return Tinv, jnp.stack(Gs), jnp.stack(g0s)
+            return jnp.stack(Gs), jnp.stack(g0s)
 
         def finish_post(A_raw, Ainv_PT, Tinv, lam, V, g0s, cvd, nlo, nhi,
                         sides_dom):
@@ -539,6 +541,8 @@ class BasisKernels:
         cfg = self.cfg
         C = self.C
 
+        from dealii_slod_tpu.ops.patch_solve import gj_inverse_pallas
+
         def cfn(coef_list, nlo, nhi, sides):
             A_raw, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
             Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m, bs=bs,
@@ -550,9 +554,12 @@ class BasisKernels:
             # re-running the scatter-heavy assembly, ~0.75 s per pass)
             if not split_eig:
                 return vfinish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides)
+            # hoisted T inversion: one batched Gauss-Jordan Pallas kernel
+            # (the vmapped batched Cholesky degraded to per-matrix chains)
+            Tinv = gj_inverse_pallas(T)
             # hoisted spectral stage: ONE batched Pallas Jacobi call over
             # the whole chunk (B*C Gram matrices share each VPU pass)
-            Tinv, G, g0 = vpre(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides)
+            G, g0 = vpre(A_raw, Ainv_PT, Tinv, cvd, nlo, nhi, sides)
             B = G.shape[0]
             lam, V = jacobi_eigh_factor(G.reshape(B * C, cD, cD),
                                         sweeps=cfg.eig_sweeps,

@@ -207,6 +207,50 @@ def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref):
                                          b_ref[i, j1:n, :]))
 
 
+def _gj_inverse_kernel(nb, bs, a_in, o_ref):
+    o_ref[:] = _gj_invert_spd(a_in[:], nb, bs)
+
+
+@partial(jax.jit, static_argnames=("bs", "interpret"))
+def gj_inverse_pallas(A: jnp.ndarray, bs: int = 16,
+                      interpret: bool | None = None) -> jnp.ndarray:
+    """Batched SPD inverse as one Pallas kernel: (B, n, n) -> (B, n, n).
+
+    The batched Gauss-Jordan sweep shares its n-step scalar chain across
+    the ``bs`` matrices of each instance — XLA's batched Cholesky + two
+    triangular solves (``spd_inverse``) pays the chain per matrix and, when
+    called under ``vmap`` (as the SLOD ``finish`` stage did), loses the
+    batch entirely.  Intended for the small (~128) SLOD coarse blocks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B0, n0, _ = A.shape
+    dt = A.dtype
+    n = -(-n0 // 128) * 128
+    bs = min(bs, B0)
+    B = -(-B0 // bs) * bs
+    Ap = jnp.zeros((B, n, n), dt)
+    Ap = Ap.at[:B0, :n0, :n0].set(A)
+    if n != n0 or B != B0:
+        pad_diag = jnp.where(jnp.arange(n) >= n0, 1.0, 0.0).astype(dt)
+        Ap = Ap + jnp.diag(pad_diag)[None]
+        if B != B0:
+            lead = jnp.diag(jnp.where(jnp.arange(n) < n0, 1.0, 0.0).astype(dt))
+            Ap = Ap.at[B0:].add(lead[None])
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    spec = pl.BlockSpec((bs, n, n), lambda i: (i, 0, 0))
+    out = pl.pallas_call(
+        partial(_gj_inverse_kernel, n, bs),
+        grid=(B // bs,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, n, n), dt),
+        interpret=interpret,
+    )(Ap)
+    return out[:B0, :n0, :n0]
+
+
 def _fused_kernel_chol_noalias(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref,
                                x_ref, y_ref, t_ref, e_ref):
     """No-aliasing wrapper for the Cholesky kernel: input/output aliasing
