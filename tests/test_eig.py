@@ -110,3 +110,25 @@ def test_adaptive_sweeps_match_fixed():
     np.testing.assert_allclose(np.asarray(lam), lam_ref, atol=1e-10)
     lam2, _ = jacobi_eigh_pallas(G, sweeps=30, tol=1e-28)
     np.testing.assert_allclose(np.asarray(lam2), lam_ref, atol=1e-10)
+
+
+def test_factor_form_matches_eigh():
+    """jacobi_eigh_factor must agree with numpy eigh on the significant
+    spectrum (the factor form sees sqrt of the dynamic range)."""
+    from dealii_slod_tpu.ops.eig import jacobi_eigh_factor
+
+    rng = np.random.default_rng(11)
+    B, n = 5, 40
+    M = rng.standard_normal((B, n, n))
+    lam_true = 10.0 ** rng.uniform(-5, 0, (B, n))
+    Q = np.linalg.qr(M)[0]
+    G = jnp.asarray(np.einsum("bik,bk,bjk->bij", Q, lam_true, Q))
+    lam, V = jacobi_eigh_factor(G, sweeps=16, tol=1e-13)
+    lam_ref = np.sort(lam_true, axis=-1)[:, ::-1]
+    assert np.abs(np.asarray(lam) - lam_ref).max() < 1e-6 * lam_ref.max()
+    # eigenvector residual on the significant spectrum
+    for i in range(B):
+        for j in range(10):
+            v = np.asarray(V[i, :, j])
+            r = np.asarray(G[i]) @ v - float(lam[i, j]) * v
+            assert np.abs(r).max() < 1e-6 * float(lam[i, 0])

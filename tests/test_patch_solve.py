@@ -87,3 +87,16 @@ def test_fused_hoisted_eig_matches_lax_path():
     assert np.abs(ua - ub).max() < 1e-4 * np.abs(ua).max()
     Aa, Ab = out["lax"][1], out["fused"][1]
     assert np.abs(Aa - Ab).max() < 1e-4 * np.abs(Aa).max()
+
+
+def test_gj_inverse_pallas_matches_inv():
+    """Batched Pallas Gauss-Jordan SPD inverse (interpret on CPU)."""
+    from dealii_slod_tpu.ops.patch_solve import gj_inverse_pallas
+
+    rng = np.random.default_rng(5)
+    B, n = 7, 61
+    M = rng.standard_normal((B, n, n))
+    A = np.einsum("bik,bjk->bij", M, M) + n * np.eye(n)
+    Ainv = np.asarray(gj_inverse_pallas(jnp.asarray(A), bs=4))
+    err = max(np.abs(Ainv[i] @ A[i] - np.eye(n)).max() for i in range(B))
+    assert err < 1e-9
