@@ -10,7 +10,11 @@ tables with observed rates.
 
 import argparse
 import math
+import os
 import sys
+
+# allow running the script directly without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
