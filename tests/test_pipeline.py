@@ -229,3 +229,33 @@ def test_glibc_sampler_matches_compiled_c(tmp_path):
     from dealii_slod_tpu.models.coefficients import GlibcRand
     py_vals = GlibcRand().uniform_reference(1.0, 100.0, len(c_vals))
     assert np.array_equal(c_vals, py_vals)
+
+
+def test_channel_coefficient_pipeline():
+    """End-to-end with the channel coefficient field (the reference declares
+    channel_parameter, Elasticity.h:56-89, but never wires it; here it is a
+    first-class option via coef_field='channel')."""
+    import numpy as np
+    from dealii_slod_tpu.config import SLODConfig
+    from dealii_slod_tpu.models import DiffusionProblem, LODSolver
+
+    cfg = SLODConfig(dim=2, n_global_refinements=3, n_subdivisions=2,
+                     oversampling=2, lod_stabilization=True,
+                     constant_coefficients=False, coef_field="channel",
+                     rhs="1", bc="0", dtype="float64", write_output=False)
+    s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+    s.compute_basis()
+    s.assemble_coarse_operator()
+    s.assemble_fine_rhs()
+    u = s.solve_coarse()
+    assert np.isfinite(np.asarray(u)).all()
+    assert np.abs(np.asarray(u)).max() > 0
+    # channel field must actually differ from the random field
+    cfg2 = SLODConfig(dim=2, n_global_refinements=3, n_subdivisions=2,
+                      oversampling=2, lod_stabilization=True,
+                      constant_coefficients=False, rhs="1", bc="0",
+                      dtype="float64", write_output=False)
+    s2 = LODSolver(cfg2, DiffusionProblem(cfg2), verbose=False)
+    a1 = np.asarray(s.coef_q["alpha"])
+    a2 = np.asarray(s2.coef_q["alpha"])
+    assert np.abs(a1 - a2).max() > 1.0
