@@ -109,7 +109,7 @@ def main():
         solve_fine_problem=False,
         coarse_solver=ReductionControl(500, 1e-6, 1e-6),
         eig_sweeps=int(os.environ.get("BENCH_EIG_SWEEPS", 12)),
-        eig_tol=float(os.environ.get("BENCH_EIG_TOL", 1e-9)),
+        eig_tol=float(os.environ.get("BENCH_EIG_TOL", 3e-6)),
         coef_windows=os.environ.get("BENCH_COEF_WINDOWS", "1") == "1",
     )
     if problem == "elasticity":
