@@ -207,11 +207,27 @@ class SLODConfig:
     n_devices: int = 0                # 0 = single device / no sharding
     svd_threshold: float = 1.0e-15    # relative truncation in the stabilization
                                       # pseudo-inverse (LOD.cc:667)
-    eig_solver: str = "auto"          # spectral decomposition for the SLOD
-                                      # Gram matrix: "lax" (XLA eigh),
-                                      # "jacobi" (VMEM-resident Pallas
-                                      # one-sided Jacobi, ~1.5-2x faster),
-                                      # "auto" = jacobi on TPU float32
+    eig_solver: str = "auto"          # spectral stage for the SLOD Gram:
+                                      # "lax" (XLA eigh), "jacobi" (VMEM-
+                                      # resident Pallas one-sided Jacobi),
+                                      # "smallk" (batched explicit inverse +
+                                      # smallest-k inverse subspace
+                                      # iteration — the truncation loop only
+                                      # ever touches the smallest
+                                      # directions; ~5x faster than jacobi),
+                                      # "auto" = smallk on TPU float32
+    smallk_dirs: int = 32             # smallest spectral directions kept for
+                                      # the sigma-truncation loop in the
+                                      # "smallk" solver (measured need at
+                                      # the bench config: 0 for 508/512
+                                      # patches, max 53 — in exact
+                                      # arithmetic; at float32 the jitter
+                                      # floor makes the full solve tame)
+    smallk_power: int = 3             # inverse-power steps of the smallk
+                                      # subspace iteration (QR-
+                                      # orthonormalized every step; the
+                                      # huge 1/lambda gaps make 2-3 steps
+                                      # converge the smallest block)
     eig_sweeps: int = 16              # max Jacobi sweeps (adaptive monitor
                                       # stops typical patches at ~6)
     patch_solver: str = "auto"        # per-patch SPD multi-RHS solve:

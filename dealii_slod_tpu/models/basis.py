@@ -233,10 +233,15 @@ class BasisKernels:
         slod = cfg.lod_stabilization and cfg.oversampling > 0
         from dealii_slod_tpu.ops.eig import jacobi_eigh_factor \
             as _jacobi_factor
-        use_jacobi = (cfg.eig_solver == "jacobi"
-                      or (cfg.eig_solver == "auto"
-                          and dt == jnp.float32
-                          and jax.default_backend() == "tpu"))
+        spec_mode = cfg.eig_solver
+        if spec_mode == "auto":
+            spec_mode = ("smallk" if (dt == jnp.float32
+                                      and jax.default_backend() == "tpu")
+                         else "lapack")
+        # the hoisted batched Pallas solvers ("jacobi"/"smallk") only apply
+        # in the chunk kernel's split form; the in-vmap builder (lax path /
+        # per-class kernels) uses full eigh for them
+        use_jacobi = spec_mode == "jacobi"
 
         flat_idx = jnp.asarray(sc.assembly_flat_idx)
         PT = jnp.asarray(sc.PT, dt)
@@ -445,6 +450,29 @@ class BasisKernels:
                 g0s.append(newBD.T @ BD[:, cen])
             return jnp.stack(Gs), jnp.stack(g0s)
 
+        def finish_post_dvec(A_raw, Ainv_PT, Tinv, dvec, cvd, nlo, nhi,
+                             sides_dom):
+            """Candidates + canvases from precomputed stabilization
+            coefficients (the hoisted "smallk" spectral stage computes the
+            whole truncation loop in the batch; reference LOD.cc:727-757)."""
+            A_cols_I = interior_cols(A_raw)
+            isdom, _ = edge_masks(nlo, nhi, sides_dom)
+            cols = []
+            for d in range(C):
+                cen = self.canvas_center_cell * C + d
+                onehot = (jnp.arange(cD) == cen).astype(dt)
+                colmask = (1.0 - onehot) * cvd
+                c = Tinv @ (onehot + dvec[d] * colmask)
+                cols.append(Ainv_PT @ c)
+            phi_int = jnp.stack(cols, axis=-1)
+            norms = jnp.sqrt((phi_int ** 2).sum(axis=0))
+            phi_int = phi_int / norms
+            phi = scatter_interior(phi_int)
+            Aphi = A_cols_I @ phi_int
+            Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
+            return (phi.reshape(n_nodes, C, C),
+                    Aphi.reshape(n_nodes, C, C))
+
         def finish_post(A_raw, Ainv_PT, Tinv, lam, V, g0s, cvd, nlo, nhi,
                         sides_dom):
             """Truncated pseudo-inverse solve + candidates + canvases."""
@@ -480,7 +508,8 @@ class BasisKernels:
             return (phi.reshape(n_nodes, C, C),
                     Aphi.reshape(n_nodes, C, C))
 
-        self._finish_split = (finish_pre, finish_post, slod, use_jacobi, cD)
+        self._finish_split = (finish_pre, finish_post, finish_post_dvec,
+                              slod, spec_mode, cD)
         return prep, finish, one_patch
 
     def _uniform_patch_fn(self):
@@ -533,11 +562,14 @@ class BasisKernels:
         vfinish = jax.vmap(finish)
 
         algo = self.cfg.fused_algo
-        finish_pre, finish_post, slod, use_jacobi, cD = self._finish_split
-        split_eig = slod and use_jacobi
+        (finish_pre, finish_post, finish_post_dvec, slod, spec_mode,
+         cD) = self._finish_split
+        split_eig = slod and spec_mode in ("jacobi", "smallk")
         vpre = jax.vmap(finish_pre)
         vpost = jax.vmap(finish_post)
-        from dealii_slod_tpu.ops.eig import jacobi_eigh_factor
+        vpost_dvec = jax.vmap(finish_post_dvec)
+        from dealii_slod_tpu.ops.eig import (jacobi_eigh_factor,
+                                             smallk_truncated_dvec)
         cfg = self.cfg
         C = self.C
 
@@ -557,10 +589,17 @@ class BasisKernels:
             # hoisted T inversion: one batched Gauss-Jordan Pallas kernel
             # (the vmapped batched Cholesky degraded to per-matrix chains)
             Tinv = gj_inverse_pallas(T)
-            # hoisted spectral stage: ONE batched Pallas Jacobi call over
-            # the whole chunk (B*C Gram matrices share each VPU pass)
+            # hoisted spectral stage over the whole chunk (B*C Grams)
             G, g0 = vpre(A_raw, Ainv_PT, Tinv, cvd, nlo, nhi, sides)
             B = G.shape[0]
+            if spec_mode == "smallk":
+                dvec = smallk_truncated_dvec(G.reshape(B * C, cD, cD),
+                                             g0.reshape(B * C, cD),
+                                             k=cfg.smallk_dirs,
+                                             power_steps=cfg.smallk_power)
+                return vpost_dvec(A_raw, Ainv_PT, Tinv,
+                                  dvec.reshape(B, C, cD), cvd, nlo, nhi,
+                                  sides)
             lam, V = jacobi_eigh_factor(G.reshape(B * C, cD, cD),
                                         sweeps=cfg.eig_sweeps,
                                         tol=cfg.eig_tol)

@@ -163,6 +163,27 @@ def _fused_kernel_ldl_dma(pl, pltpu, nb, n_blocks, bs, a_hbm, b_in, x_ref,
     _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_ref, t_ref)
 
 
+def _fused_kernel_ldl_dma2(pl, pltpu, nb, n_blocks, bs, a_hbm, b_hbm, x_hbm,
+                           t_ref, a_scr, x_scr, sem_a, sem_b, sem_x):
+    """Full-DMA variant for bs >= 4: A, B *and* X all stay in HBM
+    (``memory_space=ANY``) and move via explicit copies into/out of single
+    VMEM scratch buffers.  The pipelined BlockSpec path double-buffers every
+    block-specced operand, which at bs=4 (scratch 9.4 MB + 2x2x1.6 MB RHS
+    buffers) blows the 16 MB VMEM budget — with manual DMA only one copy of
+    each buffer is resident (~11.5 MB)."""
+    i = pl.program_id(0)
+    cpa = pltpu.make_async_copy(a_hbm.at[pl.ds(i * bs, bs)], a_scr, sem_a)
+    cpb = pltpu.make_async_copy(b_hbm.at[pl.ds(i * bs, bs)], x_scr, sem_b)
+    cpa.start()
+    cpb.start()
+    cpa.wait()
+    cpb.wait()
+    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_scr, t_ref)
+    cpx = pltpu.make_async_copy(x_scr, x_hbm.at[pl.ds(i * bs, bs)], sem_x)
+    cpx.start()
+    cpx.wait()
+
+
 def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref):
     """Block-LDL^T fused factor + multi-RHS solve + triple product.
 
@@ -372,6 +393,21 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
                 out_specs=(rhs_spec, t_spec),
                 out_shape=out_shape,
                 scratch_shapes=[pltpu.VMEM((bs, n, n), dt)],
+                interpret=interpret,
+            )(Ap, Bp)
+        elif bs >= 4:
+            X, T = pl.pallas_call(
+                partial(_fused_kernel_ldl_dma2, pl, pltpu, nb, n_blocks, bs),
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                          pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=(pl.BlockSpec(memory_space=pltpu.ANY), t_spec),
+                out_shape=out_shape,
+                scratch_shapes=[pltpu.VMEM((bs, n, n), dt),
+                                pltpu.VMEM((bs, n, k), dt),
+                                pltpu.SemaphoreType.DMA,
+                                pltpu.SemaphoreType.DMA,
+                                pltpu.SemaphoreType.DMA],
                 interpret=interpret,
             )(Ap, Bp)
         else:
