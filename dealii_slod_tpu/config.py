@@ -235,7 +235,11 @@ class SLODConfig:
                                       # "fused" (VMEM-resident Pallas factor
                                       # + forward/backward solve + triple
                                       # product, ops/patch_solve.py),
-                                      # "auto" = fused on TPU float32
+                                      # "fused_split" (2x2 block-Cholesky
+                                      # Schur split for matrices past the
+                                      # VMEM budget, e.g. 3D elasticity),
+                                      # "auto" = fused/fused_split on TPU
+                                      # float32 by VMEM fit
     fused_block: int = 2              # patches per fused-kernel instance
                                       # (VMEM: ~fused_block * (n^2 + 2 n k)
                                       # * 4 B for the "ldl" algo; bs > 1
@@ -261,6 +265,16 @@ class SLODConfig:
     eig_tol: float = 1e-12            # squared-row-cosine convergence
                                       # threshold for the adaptive monitor
                                       # (0 = fixed eig_sweeps sweeps)
+    chunk_scan: bool = True           # run all basis chunks under ONE jitted
+                                      # lax.scan (single dispatch; the axon
+                                      # tunnel costs ~30 ms per jitted call)
+                                      # instead of a per-chunk python loop
+    two_level_dense_cap: int = 4096   # largest coarse system (n_patches *
+                                      # n_components) the two-level fine
+                                      # preconditioner densifies + factors
+                                      # directly (128 MB f64 at the cap);
+                                      # larger systems use the cap-free
+                                      # stencil Chebyshev coarse correction
     profile_dir: str = ""             # non-empty: wrap the pipeline in a
                                       # jax.profiler trace written there
                                       # (TPU replacement for the reference's
@@ -384,8 +398,8 @@ class SLODConfig:
         # component block, comma-separated within).
         norms_spec = get("Error/List of error norms to compute")
         if norms_spec is not None:
-            names = {"l2_norm": "L2", "h1_norm": "H1", "h1_seminorm": "H1",
-                     "linfty_norm": "Linfty"}
+            names = {"l2_norm": "L2", "h1_norm": "H1",
+                     "h1_seminorm": "H1_semi", "linfty_norm": "Linfty"}
             seen = []
             for tok in re.split(r"[;,]", norms_spec):
                 norm = names.get(tok.strip().lower())
@@ -438,6 +452,7 @@ class SLODConfig:
             "  subsection Error\n"
             "    set List of error norms to compute = "
             + ", ".join({"L2": "L2_norm", "H1": "H1_norm",
+                         "H1_semi": "H1_seminorm",
                          "Linfty": "Linfty_norm"}[n]
                         for n in self.error_norms) + "\n"
             "  end\n"

@@ -279,9 +279,13 @@ class BasisKernels:
             Mg = M.reshape((r,) + grid_rev + (C,))
             return Mg[(slice(None),) + inner].reshape(r, nI)
 
-        def interior_rows_cols(M):
-            Mg = M.reshape(grid_rev + (C,) + grid_rev + (C,))
-            return Mg[inner + (slice(None),) + inner].reshape(nI, nI)
+        def interior_rows(M):
+            """(nD, ...) -> (nI, ...) by slicing the spatial grid row axes
+            (last dims contiguous — much cheaper than the two-sided
+            strided interior_rows_cols slice)."""
+            tail = M.shape[1:]
+            Mg = M.reshape(grid_rev + (C,) + tail)
+            return Mg[inner].reshape((nI,) + tail)
 
         def scatter_interior(v):
             """(nI, k) -> (nD, k) zero-extended (ascending-dof order, same
@@ -293,47 +297,81 @@ class BasisKernels:
             return z.reshape(nD, k)
 
         use_banded = cfg.assembly_mode == "banded"
+        from dealii_slod_tpu.ops.assembly import (assemble_bands,
+                                                  bands_to_dense,
+                                                  bands_to_offset_dense,
+                                                  make_band_tensors)
         if use_banded:
-            from dealii_slod_tpu.ops.assembly import (assemble_dense_banded,
-                                                      make_band_tensors)
             band_tensors = make_band_tensors(et)
             sub_dims_np = sc.sub_dims_local.copy()
-            node_dims_np = sc.node_dims_local.copy()
+        node_dims_np = sc.node_dims_local.copy()
+        int_dims_np = (sc.node_dims_local - 2).copy()
+        offs_np = cartesian_coords(np.full(cfg.dim, 3)) - 1
+        offs_j = jnp.asarray(offs_np.astype(np.int32))       # (3^dim, dim)
+        center_o = int(np.nonzero((offs_np == 0).all(axis=1))[0][0])
+        n_off = 3 ** cfg.dim
 
         def prep(coef_list, nlo, nhi):
-            """Assembled operators + masks for one patch window."""
+            """Assembled operators + masks for one patch window.
+
+            Everything the pipeline consumes is derived from the nodal-
+            stencil *bands* — the full-canvas (nD, nD) dense matrix is
+            never materialized (it was ~50x the band data and its
+            two-sided strided interior slice dominated the prep stage):
+
+            - ``A_rows_I`` (nI, nD): interior rows x all canvas columns,
+              by the rectangular offset-grid band embedding; by symmetry
+              its transpose is the A_cols_I block the trace/premultiply
+              stages need.
+            - ``A_solve`` (nI, nI): the window-interior SPD block, from
+              bands masked at the band level (row node and stencil
+              neighbor both inside the open window box) + unit diagonal
+              on masked rows — the row-cleared reference operator's
+              interior submatrix (LOD.cc:537-546)."""
             in_sub = ((sub_coords >= nlo) & (sub_coords <= nhi - 1)
                       ).all(axis=1)                          # (n_sub,)
             coefs = {k: c * in_sub[:, None]
                      for k, c in zip(self.coef_names, coef_list)}
+            node_int = ((int_coords > nlo) & (int_coords < nhi)).all(axis=1)
+            m = jnp.repeat(node_int, C).astype(dt)           # (nI,)
             if use_banded:
-                # scatter-free nodal-stencil assembly (ops/assembly.py):
-                # windowed contraction + banded-stride densification
-                A_raw = assemble_dense_banded(coefs, band_tensors,
-                                              sub_dims_np, node_dims_np)
+                band = assemble_bands(coefs, band_tensors, sub_dims_np)
+                band_g = band.reshape(grid_rev + (n_off, C, C))
+                band_I = band_g[inner].reshape(-1, n_off, C, C)
+                A_rows_I = bands_to_offset_dense(band_I, int_dims_np,
+                                                 node_dims_np)
+                nb = int_coords[:, None, :] + offs_j[None, :, :]
+                nb_in = ((nb > nlo) & (nb < nhi)).all(axis=2)  # (n_int, O)
+                mnode = node_int.astype(dt)
+                band_s = band_I * (mnode[:, None]
+                                   * nb_in.astype(dt))[:, :, None, None]
+                band_s = band_s.at[:, center_o].add(
+                    jnp.eye(C, dtype=dt)[None] * (1.0 - mnode)[:, None, None])
+                A_solve = bands_to_dense(band_s, int_dims_np)
             else:
                 Ksub = make_subcell_matrices(et, coefs)
                 A_raw = assemble_dense(Ksub, flat_idx, nD)
-            # window-interior mask restricted to the static canvas interior
-            node_int = ((int_coords > nlo) & (int_coords < nhi)).all(axis=1)
-            m = jnp.repeat(node_int, C).astype(dt)           # (nI,)
-            A_II = interior_rows_cols(A_raw)
-            # zero rows/cols outside the window interior + unit diagonal:
-            # the interior block is the SPD submatrix the row-cleared
-            # reference operator solves (LOD.cc:537-546)
-            A_solve = A_II * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+                A_rows_I = interior_rows(A_raw)
+                A_II = interior_cols(A_rows_I)
+                A_solve = (A_II * m[:, None] * m[None, :]
+                           + jnp.diag(1.0 - m))
             cell_valid = ((cell_lo >= nlo)
                           & (cell_lo + s <= nhi)).all(axis=1)
             cvd = jnp.repeat(cell_valid, C).astype(dt)       # (cD,)
             PT_m = PT_I * m[:, None] * cvd[None, :]
-            return A_raw, A_solve, PT_m, cvd
+            return A_rows_I, A_solve, PT_m, cvd
 
-        def finish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides_dom):
-            """Solve products -> stabilized, normalized basis canvases."""
+        def finish(A_rows_I, Ainv_PT, T, cvd, nlo, nhi, sides_dom):
+            """Solve products -> stabilized, normalized basis canvases.
+
+            ``A_rows_I`` (nI, nD) is the interior-rows band block; by the
+            symmetry of the stiffness its transpose is A_cols_I, so every
+            former ``A_cols_I @ X`` product is the contraction
+            ``einsum("in,ik->nk", A_rows_I, X)`` (no transpose
+            materialized)."""
             # T is SPD: Cholesky-based explicit inverse (gauss_jordan in the
             # reference, LOD.cc:553) — LU is overhead-bound at this size
             Tinv = spd_inverse(T)
-            A_cols_I = interior_cols(A_raw)                  # (nD, nI)
 
             node_in = ((node_coords >= nlo)
                        & (node_coords <= nhi)).all(axis=1)
@@ -348,7 +386,8 @@ class BasisKernels:
                 is99d = jnp.repeat(is99, C).astype(dt)
                 # S_boundary rows (unconstrained stiffness at 99-dofs,
                 # LOD.cc:520-528), interior columns
-                S_AiPT = (A_cols_I * is99d[:, None]) @ Ainv_PT
+                S_AiPT = (jnp.einsum("in,ik->nk", A_rows_I, Ainv_PT)
+                          * is99d[:, None])
                 PT_b = PT * is99d[:, None] * cvd[None, :]
                 BD = (S_AiPT - PT_b) @ Tinv                  # (nD, cD)
                 cols = []
@@ -398,18 +437,18 @@ class BasisKernels:
             # premultiplied basis (LOD.cc:758-765): phi is supported on the
             # window interior, so A_semi phi == A[:, interior] @ phi_int with
             # domain-boundary rows zeroed
-            Aphi = A_cols_I @ phi_int
+            Aphi = jnp.einsum("in,ik->nk", A_rows_I, phi_int)
             Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
             # outputs are already canvas-aligned
             return (phi.reshape(n_nodes, C, C),
                     Aphi.reshape(n_nodes, C, C))
 
         def one_patch(coef_list, nlo, nhi, sides_dom):
-            A_raw, A_solve, PT_m, cvd = prep(coef_list, nlo, nhi)
+            A_rows_I, A_solve, PT_m, cvd = prep(coef_list, nlo, nhi)
             L = cholesky_factor(A_solve)
             Ainv_PT = cholesky_solve(L, PT_m)                # (nI, cD)
             T = (PT_m.T @ Ainv_PT) / Hdim + jnp.diag(1.0 - cvd)
-            return finish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides_dom)
+            return finish(A_rows_I, Ainv_PT, T, cvd, nlo, nhi, sides_dom)
 
         # --- split form of `finish` for the chunk kernel: the spectral
         # decomposition is hoisted out of the vmap into ONE batched Pallas
@@ -428,16 +467,16 @@ class BasisKernels:
                      | (on_hi & ~sides_dom[1::2])).any(axis=1) & node_in)
             return isdom, is99
 
-        def finish_pre(A_raw, Ainv_PT, Tinv, cvd, nlo, nhi, sides_dom):
+        def finish_pre(A_rows_I, Ainv_PT, Tinv, cvd, nlo, nhi, sides_dom):
             """Per-patch Gram matrices + projections for the SLOD spectral
             least squares (everything before the eigendecomposition).
             ``Tinv`` is computed by the caller (hoisted batched Gauss-Jordan
             on TPU — under vmap the batched Cholesky degrades to per-matrix
             scalar chains)."""
-            A_cols_I = interior_cols(A_raw)
             _, is99 = edge_masks(nlo, nhi, sides_dom)
             is99d = jnp.repeat(is99, C).astype(dt)
-            S_AiPT = (A_cols_I * is99d[:, None]) @ Ainv_PT
+            S_AiPT = (jnp.einsum("in,ik->nk", A_rows_I, Ainv_PT)
+                      * is99d[:, None])
             PT_b = PT * is99d[:, None] * cvd[None, :]
             BD = (S_AiPT - PT_b) @ Tinv
             Gs, g0s = [], []
@@ -450,12 +489,11 @@ class BasisKernels:
                 g0s.append(newBD.T @ BD[:, cen])
             return jnp.stack(Gs), jnp.stack(g0s)
 
-        def finish_post_dvec(A_raw, Ainv_PT, Tinv, dvec, cvd, nlo, nhi,
+        def finish_post_dvec(A_rows_I, Ainv_PT, Tinv, dvec, cvd, nlo, nhi,
                              sides_dom):
             """Candidates + canvases from precomputed stabilization
             coefficients (the hoisted "smallk" spectral stage computes the
             whole truncation loop in the batch; reference LOD.cc:727-757)."""
-            A_cols_I = interior_cols(A_raw)
             isdom, _ = edge_masks(nlo, nhi, sides_dom)
             cols = []
             for d in range(C):
@@ -468,15 +506,14 @@ class BasisKernels:
             norms = jnp.sqrt((phi_int ** 2).sum(axis=0))
             phi_int = phi_int / norms
             phi = scatter_interior(phi_int)
-            Aphi = A_cols_I @ phi_int
+            Aphi = jnp.einsum("in,ik->nk", A_rows_I, phi_int)
             Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
             return (phi.reshape(n_nodes, C, C),
                     Aphi.reshape(n_nodes, C, C))
 
-        def finish_post(A_raw, Ainv_PT, Tinv, lam, V, g0s, cvd, nlo, nhi,
+        def finish_post(A_rows_I, Ainv_PT, Tinv, lam, V, g0s, cvd, nlo, nhi,
                         sides_dom):
             """Truncated pseudo-inverse solve + candidates + canvases."""
-            A_cols_I = interior_cols(A_raw)
             isdom, _ = edge_masks(nlo, nhi, sides_dom)
             cols = []
             for d in range(C):
@@ -503,7 +540,7 @@ class BasisKernels:
             norms = jnp.sqrt((phi_int ** 2).sum(axis=0))
             phi_int = phi_int / norms
             phi = scatter_interior(phi_int)
-            Aphi = A_cols_I @ phi_int
+            Aphi = jnp.einsum("in,ik->nk", A_rows_I, phi_int)
             Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
             return (phi.reshape(n_nodes, C, C),
                     Aphi.reshape(n_nodes, C, C))
@@ -522,23 +559,34 @@ class BasisKernels:
         computation (validated against it in tests/test_uniform.py)."""
         return self._uniform_core()[2]
 
-    def _use_fused_solver(self) -> bool:
+    def _fused_solver_mode(self) -> str:
+        """Per-patch SPD solver routing: "fused" (whole matrix VMEM-
+        resident), "fused_split" (2x2 block-Cholesky Schur split for
+        matrices past the VMEM budget — 3D elasticity, VERDICT r2 #4), or
+        "lax" (XLA Cholesky+TRSM; the CPU/f64 path)."""
         mode = self.cfg.patch_solver
-        if mode == "auto":
-            if not (self.dtype == jnp.float32
-                    and jax.default_backend() == "tpu"):
-                return False
-            # VMEM guard: the fused kernel keeps a (bs, n, n) scratch copy
-            # of the padded interior matrix resident (+ RHS buffers); fall
-            # back to the XLA path when that exceeds the ~16 MB VMEM (e.g.
-            # 3D elasticity: n = 3 * 729 -> ~20 MB at bs=1)
-            sc = self.canvas_class
-            n = -(-sc.n_interior * self.C // 128) * 128
-            k = -(-sc.n_coarse_dofs_local // 128) * 128
-            bs = max(1, self.cfg.fused_block)
-            vmem = 4 * (bs * n * n + 4 * bs * n * k)
-            return vmem <= 12 * 2 ** 20
-        return mode == "fused"
+        if mode != "auto":
+            return mode if mode in ("fused", "fused_split") else "lax"
+        if not (self.dtype == jnp.float32
+                and jax.default_backend() == "tpu"):
+            return "lax"
+        # VMEM guard: the fused kernel keeps a (bs, n, n) scratch copy
+        # of the padded interior matrix resident (+ RHS buffers)
+        sc = self.canvas_class
+        n = -(-sc.n_interior * self.C // 128) * 128
+        k = -(-sc.n_coarse_dofs_local // 128) * 128
+        bs = max(1, self.cfg.fused_block)
+        vmem = 4 * (bs * n * n + 4 * bs * n * k)
+        if vmem <= 12 * 2 ** 20:
+            return "fused"
+        # split feasibility: each ~n/2 half + its wide RHS must fit
+        n1 = 128 * (-(-n // 256))
+        k1 = -(-(n - n1 + sc.n_coarse_dofs_local) // 128) * 128
+        vmem_split = 4 * (n1 * n1 + n1 * k1)
+        return "fused_split" if vmem_split <= 13 * 2 ** 20 else "lax"
+
+    def _use_fused_solver(self) -> bool:
+        return self._fused_solver_mode() != "lax"
 
     def _uniform_chunk_fn(self):
         """Chunk-level uniform kernel: (coef_list of (B, n_sub, nq), nlo,
@@ -548,13 +596,14 @@ class BasisKernels:
         per-patch SPD multi-RHS solve is hoisted out of the vmap into ONE
         batched VMEM-resident Pallas kernel (factor + forward/backward
         multi-RHS + triple product, ops/patch_solve.py) between two vmapped
-        stages; A_raw is re-assembled in stage 2 (assembly is ~100x cheaper
-        than materializing the (nD, nD) matrices across the batch)."""
+        stages."""
         nc = len(self.coef_names)
         prep, finish, one_patch = self._uniform_core()
-        if not self._use_fused_solver():
+        solver_mode = self._fused_solver_mode()
+        if solver_mode == "lax":
             return jax.vmap(one_patch, in_axes=([0] * nc, 0, 0, 0))
-        from dealii_slod_tpu.ops.patch_solve import fused_spd_multirhs
+        from dealii_slod_tpu.ops.patch_solve import (fused_spd_multirhs,
+                                                     fused_spd_multirhs_split)
         Hdim = self.grid.H ** self.cfg.dim
         bs = self.cfg.fused_block
 
@@ -576,34 +625,36 @@ class BasisKernels:
         from dealii_slod_tpu.ops.patch_solve import gj_inverse_pallas
 
         def cfn(coef_list, nlo, nhi, sides):
-            A_raw, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
-            Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m, bs=bs,
-                                                algo=algo)
+            A_rows_I, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
+            if solver_mode == "fused_split":
+                Ainv_PT, T_raw = fused_spd_multirhs_split(A_solve, PT_m)
+            else:
+                Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m, bs=bs,
+                                                    algo=algo)
             eye = jnp.eye(cvd.shape[-1], dtype=self.dtype)
             T = T_raw / Hdim + eye * (1.0 - cvd)[:, None, :]
-            # A_raw flows through HBM to the trace/premultiply stage (a
-            # chunk of (B, nD, nD) matrices is ~2 GB of traffic — ms — vs
-            # re-running the scatter-heavy assembly, ~0.75 s per pass)
+            # A_rows_I flows through HBM to the trace/premultiply stages
+            # (a chunk of (B, nI, nD) blocks is ~1 GB of traffic — ms)
             if not split_eig:
-                return vfinish(A_raw, Ainv_PT, T, cvd, nlo, nhi, sides)
+                return vfinish(A_rows_I, Ainv_PT, T, cvd, nlo, nhi, sides)
             # hoisted T inversion: one batched Gauss-Jordan Pallas kernel
             # (the vmapped batched Cholesky degraded to per-matrix chains)
             Tinv = gj_inverse_pallas(T)
             # hoisted spectral stage over the whole chunk (B*C Grams)
-            G, g0 = vpre(A_raw, Ainv_PT, Tinv, cvd, nlo, nhi, sides)
+            G, g0 = vpre(A_rows_I, Ainv_PT, Tinv, cvd, nlo, nhi, sides)
             B = G.shape[0]
             if spec_mode == "smallk":
                 dvec = smallk_truncated_dvec(G.reshape(B * C, cD, cD),
                                              g0.reshape(B * C, cD),
                                              k=cfg.smallk_dirs,
                                              power_steps=cfg.smallk_power)
-                return vpost_dvec(A_raw, Ainv_PT, Tinv,
+                return vpost_dvec(A_rows_I, Ainv_PT, Tinv,
                                   dvec.reshape(B, C, cD), cvd, nlo, nhi,
                                   sides)
             lam, V = jacobi_eigh_factor(G.reshape(B * C, cD, cD),
                                         sweeps=cfg.eig_sweeps,
                                         tol=cfg.eig_tol)
-            return vpost(A_raw, Ainv_PT, Tinv, lam.reshape(B, C, cD),
+            return vpost(A_rows_I, Ainv_PT, Tinv, lam.reshape(B, C, cD),
                          V.reshape(B, C, cD, cD), g0, cvd, nlo, nhi, sides)
 
         return cfn
@@ -689,9 +740,55 @@ class BasisKernels:
             gsub = jnp.asarray(gsub)
         nlo_j, nhi_j = jnp.asarray(nlo), jnp.asarray(nhi)
         sides_j = jnp.asarray(sides)
+        step = min(chunk, B)
+        n_chunks = -(-B // step)
+        if self.cfg.chunk_scan and n_chunks > 1:
+            # one jitted lax.scan over all chunks: a single dispatch for
+            # the whole basis stage (each per-chunk call pays ~30 ms of
+            # host/tunnel dispatch on the axon backend; 16 chunks = ~0.4 s)
+            idx_all = np.minimum(np.arange(n_chunks * step), B - 1)
+            jidx = jnp.asarray(idx_all)
+            if use_windows:
+                cls = tuple(
+                    cw[k][jidx].reshape((n_chunks, step) + cw[k].shape[1:])
+                    for k in self.coef_names)
+            else:
+                cls = tuple(
+                    self.coef_q[k][gsub[jidx]].reshape(
+                        (n_chunks, step) + gsub.shape[1:]
+                        + self.coef_q[k].shape[1:])
+                    for k in self.coef_names)
+            xs = (cls,
+                  nlo_j[jidx].reshape((n_chunks, step) + nlo_j.shape[1:]),
+                  nhi_j[jidx].reshape((n_chunks, step) + nhi_j.shape[1:]),
+                  sides_j[jidx].reshape((n_chunks, step)
+                                        + sides_j.shape[1:]))
+            if self._uniform_scan_cache is None:
+                cfn = self._uniform_chunk_fn()
+                prec = self.cfg.matmul_precision
+
+                def run_all(cl_s, nlo_s, nhi_s, sd_s):
+                    def body(_, x):
+                        cl, lo, hi, sd = x
+                        return None, cfn(list(cl), lo, hi, sd)
+
+                    with jax.default_matmul_precision(prec):
+                        _, out = jax.lax.scan(body, None,
+                                              (cl_s, nlo_s, nhi_s, sd_s))
+                    return out
+
+                self._uniform_scan_cache = jax.jit(run_all)
+            phi_s, aphi_s = self._uniform_scan_cache(*xs)
+            Phi = phi_s.reshape(n_chunks * step, -1, C, C)[:B]
+            APhi = aphi_s.reshape(n_chunks * step, -1, C, C)[:B]
+            if dedup is not None:
+                jinv = jnp.asarray(inv)
+                Phi = Phi[jinv]
+                APhi = APhi[jinv]
+            self.Phi, self.APhi = Phi, APhi
+            return Phi, APhi
         Phi = jnp.zeros((B, self.canvas_n, C, C), self.dtype)
         APhi = jnp.zeros((B, self.canvas_n, C, C), self.dtype)
-        step = min(chunk, B)
         for lo in range(0, B, step):
             idx = np.minimum(np.arange(lo, lo + step), B - 1)
             jidx = jnp.asarray(idx)

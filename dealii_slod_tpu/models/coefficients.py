@@ -103,6 +103,14 @@ class ChannelField:
 
     def __init__(self, min_val: float, max_val: float, refinement: int,
                  dim: int = 2, x_c: float = 0.3, y_c: float = 0.3):
+        if dim != 2:
+            # the reference field is 2D-only (Elasticity.h:56-89); silently
+            # extruding the (x, y) pattern along z would misrepresent a 3D
+            # channel geometry (VERDICT r2)
+            raise ValueError(
+                "ChannelField is defined for dim=2 only (the reference's "
+                "channel_parameter is an (x, y) pattern); for 3D use the "
+                "random coefficient field")
         self.min_val = float(min_val)
         self.max_val = float(max_val)
         self.eta = 1.0 / (2 ** refinement)

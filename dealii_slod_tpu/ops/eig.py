@@ -119,7 +119,7 @@ def _caterpillar_round(XT, XB, JT, JB, eps, off=None, amax2=None,
 
 @partial(jax.jit, static_argnames=("sweeps", "tol"))
 def jacobi_eigh_onesided(G: jnp.ndarray, sweeps: int = 10,
-                         tol: float = 0.0):
+                         tol: float = 0.0, null_rel: float | None = None):
     """Eigendecomposition of symmetric PSD (..., n, n) matrices by
     one-sided (Hestenes) Jacobi in the caterpillar layout.
 
@@ -130,7 +130,12 @@ def jacobi_eigh_onesided(G: jnp.ndarray, sweeps: int = 10,
 
     ``tol > 0`` enables the adaptive sweep count: stop as soon as every
     pair's squared row-cosine in the previous sweep was below ``tol``
-    (``sweeps`` then acts as the maximum)."""
+    (``sweeps`` then acts as the maximum).  ``null_rel`` scales the
+    monitor's numerically-null pair cutoff; the default is dtype-aware
+    (~100x eps: 1e-9 at f32, 1e-14 at f64 — ADVICE r2: a fixed 1e-9 can
+    drop significant f64 pairs in direct mode)."""
+    if null_rel is None:
+        null_rel = 1e-14 if G.dtype == jnp.float64 else 1e-9
     batch_shape = G.shape[:-2]
     n0 = G.shape[-1]
     G = G.reshape((-1, n0, n0))
@@ -166,7 +171,7 @@ def jacobi_eigh_onesided(G: jnp.ndarray, sweeps: int = 10,
 
             def body(r, c2):
                 return _caterpillar_round(*c2[:4], eps, off=c2[4],
-                                          amax2=amax2)
+                                          amax2=amax2, null_rel=null_rel)
 
             XT, XB, JT, JB, off = jax.lax.fori_loop(
                 0, n - 1, body, (XT, XB, JT, JB, off0))
@@ -264,7 +269,7 @@ def _finalize_rows(XT, XB, n0, batch_shape):
 
 
 def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
-                       tol: float = 0.0):
+                       tol: float = 0.0, null_rel: float | None = None):
     """One-sided Jacobi eigensolver as a Pallas TPU kernel (PSD inputs).
 
     The (top, bottom) working arrays stay **VMEM-resident across all
@@ -278,7 +283,10 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
 
     ``tol > 0``: adaptive sweep count — each block stops as soon as every
     significant pair's squared row-cosine in its previous sweep fell below
-    ``tol`` (``sweeps`` is the maximum)."""
+    ``tol`` (``sweeps`` is the maximum).  ``null_rel``: see
+    `jacobi_eigh_onesided` (dtype-aware default)."""
+    if null_rel is None:
+        null_rel = 1e-14 if G.dtype == jnp.float64 else 1e-9
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -333,7 +341,8 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
 
                 def body(r, c2):
                     return _caterpillar_round_nj(*c2[:4], eps, off=c2[4],
-                                                 amax2=amax2)
+                                                 amax2=amax2,
+                                                 null_rel=null_rel)
 
                 XT, XB, aT, bB, off = jax.lax.fori_loop(
                     0, n - 1, body, (XT, XB, aT, bB, off0))
@@ -533,7 +542,8 @@ def smallk_truncated_dvec(G: jnp.ndarray, g0: jnp.ndarray, k: int = 32,
 
 
 def jacobi_eigh_factor(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
-                       tol: float = 0.0, jitter: float | None = None):
+                       tol: float = 0.0, jitter: float | None = None,
+                       null_rel: float | None = None):
     """Factor-form spectral decomposition of PSD matrices (f32-robust).
 
     One-sided Jacobi applied to G itself resolves small eigenpairs only to
@@ -558,5 +568,5 @@ def jacobi_eigh_factor(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
     n = G.shape[-1]
     L = jnp.linalg.cholesky(G + delta * jnp.eye(n, dtype=G.dtype))
     s, U = jacobi_eigh_pallas(jnp.swapaxes(L, -1, -2), sweeps=sweeps,
-                              tol=tol, block=block)
+                              tol=tol, block=block, null_rel=null_rel)
     return s * s, U

@@ -184,6 +184,24 @@ def _fused_kernel_ldl_dma2(pl, pltpu, nb, n_blocks, bs, a_hbm, b_hbm, x_hbm,
     cpx.wait()
 
 
+def _fused_kernel_ldl_dma_nt(pl, pltpu, nb, n_blocks, bs, a_hbm, b_hbm,
+                             x_hbm, a_scr, x_scr, sem_a, sem_b, sem_x):
+    """Solve-only full-DMA variant (no T output): used by the split Schur
+    path where the RHS block is wide (k ~ n/2) and a (k, k) T would not fit
+    VMEM; T is assembled at the XLA level from the solve results."""
+    i = pl.program_id(0)
+    cpa = pltpu.make_async_copy(a_hbm.at[pl.ds(i * bs, bs)], a_scr, sem_a)
+    cpb = pltpu.make_async_copy(b_hbm.at[pl.ds(i * bs, bs)], x_scr, sem_b)
+    cpa.start()
+    cpb.start()
+    cpa.wait()
+    cpb.wait()
+    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_scr, None)
+    cpx = pltpu.make_async_copy(x_scr, x_hbm.at[pl.ds(i * bs, bs)], sem_x)
+    cpx.start()
+    cpx.wait()
+
+
 def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref):
     """Block-LDL^T fused factor + multi-RHS solve + triple product.
 
@@ -196,7 +214,9 @@ def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref):
     a_ref (bs, n, n) aliased in/out: lower panels become L, diagonal blocks
     are consumed.  b_ref (bs, n, k) aliased in/out: holds B -> z = L^-1 B ->
     w = D^-1 z -> X = L^-T w = A^-1 B in place.  t_ref accumulates
-    T = sum_j z_j^T D_j^-1 z_j = B^T A^-1 B (== Y^T Y of the Cholesky form).
+    T = sum_j z_j^T D_j^-1 z_j = B^T A^-1 B (== Y^T Y of the Cholesky form);
+    pass ``t_ref=None`` to skip it (the split Schur path computes T at the
+    XLA level instead).
     """
     del a_in, b_in
     n = nb * n_blocks
@@ -208,8 +228,9 @@ def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref):
         for i in range(bs):
             zj = b_ref[i, j0:j1, :]                    # (nb, k)
             wj = _mm(Dinv[i], zj)                      # D_j^-1 z_j
-            c = _mTm(zj, wj)
-            t_ref[i] = c if j == 0 else t_ref[i] + c
+            if t_ref is not None:
+                c = _mTm(zj, wj)
+                t_ref[i] = c if j == 0 else t_ref[i] + c
             if j + 1 < n_blocks:
                 Aij = a_ref[i, j1:n, j0:j1]            # raw sub-diag panel
                 W = _mm(Aij, Dinv[i])                  # L_{i>j, j}
@@ -327,6 +348,83 @@ def _fused_kernel(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, x_ref, y_ref,
             c = _mTm(Yj, Yj)
             acc = c if acc is None else acc + c
         t_ref[i] = acc
+
+
+@partial(jax.jit, static_argnames=("nb", "interpret"))
+def spd_multirhs_solve_dma(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
+                           interpret: bool | None = None) -> jnp.ndarray:
+    """Solve-only fused kernel (no T), bs=1, all operands in HBM via manual
+    DMA — the building block of `fused_spd_multirhs_split` where the RHS is
+    a wide (n, ~n/2 + k) block that exceeds the pipelined-BlockSpec VMEM
+    budget.  A (P, n, n) SPD, B (P, n, k) -> X = A^-1 B."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P, n0, _ = A.shape
+    k0 = B.shape[-1]
+    dt = A.dtype
+    n = -(-n0 // nb) * nb
+    k = -(-k0 // 128) * 128
+    n_blocks = n // nb
+    Ap = jnp.zeros((P, n, n), dt)
+    Ap = Ap.at[:, :n0, :n0].set(A)
+    if n != n0:
+        pad_diag = jnp.where(jnp.arange(n) >= n0, 1.0, 0.0).astype(dt)
+        Ap = Ap + jnp.diag(pad_diag)[None]
+    Bp = jnp.zeros((P, n, k), dt).at[:, :n0, :k0].set(B)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret:
+        # CPU/debug path: plain solve (the DMA kernel is TPU-only)
+        return jnp.linalg.solve(Ap, Bp)[:, :n0, :k0]
+    X = pl.pallas_call(
+        partial(_fused_kernel_ldl_dma_nt, pl, pltpu, nb, n_blocks, 1),
+        grid=(P,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((P, n, k), dt),
+        scratch_shapes=[pltpu.VMEM((1, n, n), dt),
+                        pltpu.VMEM((1, n, k), dt),
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
+    )(Ap, Bp)
+    return X[:, :n0, :k0]
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def fused_spd_multirhs_split(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128):
+    """Fused SPD multi-RHS solve + triple product for matrices too large for
+    one VMEM residency (3D elasticity: n = 3 * 729 = 2187 -> ~21 MB), by an
+    exact 2x2 block-Cholesky (Schur-complement) split:
+
+        A = [[A11, A12], [A12^T, A22]],   S = A22 - A12^T A11^-1 A12
+
+    Each half (~n/2) fits the solve-only DMA kernel; the Schur update, the
+    back-substitution and T = B^T X are large MXU matmuls at the XLA level.
+    Same contract as `fused_spd_multirhs`: returns (X = A^-1 B,
+    T = B^T A^-1 B).  Replaces the reference's whole-patch Amesos KLU solve
+    (include/LODtools.h:511-595) at elasticity sizes."""
+    P, n0, _ = A.shape
+    n1 = min(128 * (-(-n0 // 256)), n0 - 1)
+    A11 = A[:, :n1, :n1]
+    A12 = A[:, :n1, n1:]
+    A22 = A[:, n1:, n1:]
+    B1 = B[:, :n1, :]
+    B2 = B[:, n1:, :]
+    U = spd_multirhs_solve_dma(A11, jnp.concatenate([A12, B1], axis=-1),
+                               nb=nb)
+    n2 = n0 - n1
+    U_A = U[:, :, :n2]                       # A11^-1 A12
+    U_B = U[:, :, n2:]                       # A11^-1 B1
+    S = A22 - jnp.einsum("bji,bjk->bik", A12, U_A)
+    Y = B2 - jnp.einsum("bji,bjk->bik", A12, U_B)
+    X2 = spd_multirhs_solve_dma(S, Y, nb=nb)
+    X1 = U_B - jnp.einsum("bik,bkj->bij", U_A, X2)
+    X = jnp.concatenate([X1, X2], axis=1)
+    T = jnp.einsum("bik,bij->bkj", B, X)
+    return X, 0.5 * (T + jnp.swapaxes(T, -1, -2))
 
 
 @partial(jax.jit, static_argnames=("nb", "bs", "interpret", "algo"))

@@ -27,6 +27,7 @@ class CGResult(NamedTuple):
     n_iter: jnp.ndarray
     residual: jnp.ndarray
     initial_residual: jnp.ndarray
+    converged: jnp.ndarray = jnp.asarray(True)
 
 
 def cg(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
@@ -42,13 +43,15 @@ def cg(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     all axes (and over a device-mesh axis via ``psum`` when ``psum_axis`` is
     given, for row-sharded vectors).
 
-    The convergence test runs every ``check_every`` iterations: a
-    ``lax.while_loop`` iteration measures ~10x the cost of the same body
-    under ``fori_loop`` on TPU, so the loop runs fixed-size inner chunks
-    and only the chunk boundary pays the while-loop price.  Iterations
-    past convergence are exact no-ops (guarded divisions), so the result
-    matches the per-iteration stopping rule; ``n_iter`` is reported in
-    ``check_every`` granularity."""
+    The loop structure runs fixed-size ``check_every`` chunks under one
+    ``lax.while_loop`` (a while iteration measures ~10x the cost of the
+    same body under ``fori_loop`` on TPU), but the stopping SEMANTICS are
+    exactly per-iteration: every iteration carries a convergence latch, and
+    once the residual passes the threshold (or ``max_steps`` is reached)
+    the remaining iterations of the chunk are masked no-ops — so the
+    returned ``x`` matches a per-iteration stop, ``n_iter`` is the exact
+    deal.II iteration count, and ``converged`` is explicit (a solve that
+    converges at the last allowed iteration is reported converged)."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if precond is None:
@@ -68,36 +71,44 @@ def cg(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     rz0 = dot(r0, z0)
     res0 = jnp.sqrt(dot(r0, r0))
     threshold = jnp.maximum(tolerance, reduce * res0)
+    thr2 = threshold * threshold
 
     def iteration(i, state):
-        x, r, z, p, rz = state
+        x, r, z, p, rz, n_it, done = state
+        active = (~done) & (n_it < max_steps)
+        act = active.astype(b.dtype)
         Ap = matvec(p)
-        alpha = safe_div(rz, dot(p, Ap))
+        alpha = safe_div(rz, dot(p, Ap)) * act
         x = x + alpha * p
-        r = r - alpha * Ap
-        z = precond(r)
-        rz_new = dot(r, z)
+        r_new = r - alpha * Ap
+        z_new = precond(r_new)
+        rz_new = dot(r_new, z_new)
         beta = safe_div(rz_new, rz)
-        p = z + beta * p
-        return (x, r, z, p, rz_new)
+        p = jnp.where(active, z_new + beta * p, p)
+        r, z = r_new, z_new
+        rz = jnp.where(active, rz_new, rz)
+        n_it = n_it + active.astype(n_it.dtype)
+        done = done | (dot(r, r) <= thr2)
+        return (x, r, z, p, rz, n_it, done)
 
     k = max(1, check_every)
     n_chunks = -(-max_steps // k)
 
     def cond(state):
-        inner, chunks = state[:2]
-        res = jnp.sqrt(dot(inner[1], inner[1]))
-        return (res > threshold) & (chunks < n_chunks)
+        inner, chunks = state
+        n_it, done = inner[5], inner[6]
+        return (~done) & (n_it < max_steps) & (chunks < n_chunks)
 
     def body(state):
         inner, chunks = state
         inner = jax.lax.fori_loop(0, k, iteration, inner)
         return (inner, chunks + 1)
 
-    state = ((x0, r0, z0, z0, rz0), jnp.zeros((), jnp.int32))
-    (x, r, _, _, _), chunks = jax.lax.while_loop(cond, body, state)
-    n_iter = jnp.minimum(chunks * k, max_steps)
-    return CGResult(x, n_iter, jnp.sqrt(dot(r, r)), res0)
+    done0 = res0 <= threshold
+    state = ((x0, r0, z0, z0, rz0, jnp.zeros((), jnp.int32), done0),
+             jnp.zeros((), jnp.int32))
+    (x, r, _, _, _, n_iter, done), _ = jax.lax.while_loop(cond, body, state)
+    return CGResult(x, n_iter, jnp.sqrt(dot(r, r)), res0, done)
 
 
 def cholesky_factor(A: jnp.ndarray) -> jnp.ndarray:

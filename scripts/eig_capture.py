@@ -44,13 +44,13 @@ Hdim = solver.grid.H ** cfg.dim
 
 
 def capture(coef_list, nlo, nhi, sides):
-    A_raw, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
+    A_rows_I, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
     Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m, bs=cfg.fused_block,
                                         algo=cfg.fused_algo)
     eye = jnp.eye(cvd.shape[-1], dtype=solver.dtype)
     T = T_raw / Hdim + eye * (1.0 - cvd)[:, None, :]
     Tinv = gj_inverse_pallas(T)
-    G, g0 = vpre(A_raw, Ainv_PT, Tinv, cvd, nlo, nhi, sides)
+    G, g0 = vpre(A_rows_I, Ainv_PT, Tinv, cvd, nlo, nhi, sides)
     return G, g0
 
 

@@ -78,20 +78,12 @@ with jax.default_matmul_precision(cfg.matmul_precision):
                                                sub_dims_np))
     t("prep.bands (einsum)", vbands, cl)
     bands = jax.jit(vbands)(cl)
-    vdense = jax.vmap(lambda b: bands_to_dense(b, node_dims_np))
-    t("prep.bands_to_dense (full canvas)", vdense, bands)
-    A_raw = jax.jit(vdense)(bands)
-
-    def irc(M):
-        Mg = M.reshape(grid_rev + (C,) + grid_rev + (C,))
-        return Mg[inner + (slice(None),) + inner].reshape(nI, nI)
-    t("prep.interior_rows_cols slice", jax.vmap(irc), A_raw)
 
     t("prep.total (vprep)", lambda c, lo, hi: vprep([c], lo, hi),
       cl, nlo_j, nhi_j)
-    A_raw2, A_solve, PT_m, cvd = jax.jit(
+    A_rows_I, A_solve, PT_m, cvd = jax.jit(
         lambda c, lo, hi: vprep([c], lo, hi))(cl, nlo_j, nhi_j)
-    A_raw2, A_solve = jax.block_until_ready((A_raw2, A_solve))
+    A_rows_I, A_solve = jax.block_until_ready((A_rows_I, A_solve))
 
     # ---- solve + Tinv ----
     t("fused_spd_multirhs", lambda a, b: fused_spd_multirhs(
@@ -103,31 +95,10 @@ with jax.default_matmul_precision(cfg.matmul_precision):
     t("Tinv (gj_inverse_pallas)", gj_inverse_pallas, T)
     Tinv = jax.jit(gj_inverse_pallas)(T)
 
-    # ---- finish_pre pieces ----
-    def icols(M):
-        r = M.shape[0]
-        Mg = M.reshape((r,) + grid_rev + (C,))
-        return Mg[(slice(None),) + inner].reshape(r, nI)
-    t("pre.interior_cols slice", jax.vmap(icols), A_raw2)
-    A_cols_I = jax.jit(jax.vmap(icols))(A_raw2)
-
-    # fake is99 mask (node-level), just for timing the matmuls
-    rng = np.random.default_rng(0)
-    is99d = jnp.asarray((rng.random((chunk, nD)) < 0.4).astype(np.float32))
-    t("pre.S_AiPT masked matmul",
-      lambda A, m, X: jnp.einsum("bni,bnk->bik",
-                                 jnp.swapaxes(A, 1, 2) * 0 + A, X * 0 + X)
-      if False else jnp.einsum("bni,bik->bnk", A * m[:, :, None], X),
-      A_cols_I, is99d, Ainv_PT)
-    S_AiPT = jnp.einsum("bni,bik->bnk", A_cols_I * is99d[..., None], Ainv_PT)
-    S_AiPT = jax.block_until_ready(S_AiPT)
-    t("pre.BD matmul", lambda S, Ti: jnp.einsum("bnk,bkl->bnl", S, Ti),
-      S_AiPT, Tinv)
-    BD = jax.block_until_ready(jnp.einsum("bnk,bkl->bnl", S_AiPT, Tinv))
-    t("pre.Gram (BD^T BD)", lambda b: jnp.einsum("bnk,bnl->bkl", b, b), BD)
-    t("pre.total (vpre)", vpre, A_raw2, Ainv_PT, Tinv, cvd, nlo_j, nhi_j,
+    # ---- finish_pre ----
+    t("pre.total (vpre)", vpre, A_rows_I, Ainv_PT, Tinv, cvd, nlo_j, nhi_j,
       sides_j)
-    G, g0 = jax.jit(vpre)(A_raw2, Ainv_PT, Tinv, cvd, nlo_j, nhi_j, sides_j)
+    G, g0 = jax.jit(vpre)(A_rows_I, Ainv_PT, Tinv, cvd, nlo_j, nhi_j, sides_j)
     G, g0 = jax.block_until_ready((G, g0))
 
     # ---- eig + finish_post ----
@@ -140,6 +111,12 @@ with jax.default_matmul_precision(cfg.matmul_precision):
         g.reshape(Bc * C, cD, cD), sweeps=10, tol=3e-6))(G)
     lam = lam.reshape(Bc, C, cD)
     V = V.reshape(Bc, C, cD, cD)
-    t("post.total (vpost)", vpost, A_raw2, Ainv_PT, Tinv, lam, V, g0, cvd,
+    t("post.total (vpost)", vpost, A_rows_I, Ainv_PT, Tinv, lam, V, g0, cvd,
       nlo_j, nhi_j, sides_j)
+    from dealii_slod_tpu.ops.eig import smallk_truncated_dvec
+    Bc2 = G.shape[0]
+    t("eig smallk (k=32,p=3)",
+      lambda g, h: smallk_truncated_dvec(g.reshape(Bc2 * C, cD, cD),
+                                         h.reshape(Bc2 * C, cD), k=32,
+                                         power_steps=3), G, g0)
 print("done")

@@ -100,3 +100,24 @@ def test_gj_inverse_pallas_matches_inv():
     Ainv = np.asarray(gj_inverse_pallas(jnp.asarray(A), bs=4))
     err = max(np.abs(Ainv[i] @ A[i] - np.eye(n)).max() for i in range(B))
     assert err < 1e-9
+
+
+def test_fused_split_schur_exact():
+    """`fused_spd_multirhs_split` (the 3D-elasticity-sized 2x2 block-
+    Cholesky path) must match the direct solve and triple product
+    exactly — the Schur split is algebraically exact."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dealii_slod_tpu.ops.patch_solve import fused_spd_multirhs_split
+
+    rng = np.random.default_rng(0)
+    P, n, k = 3, 300, 17
+    M = rng.standard_normal((P, n, 24))
+    A = jnp.asarray(np.einsum("bik,bjk->bij", M, M) + 24 * np.eye(n))
+    B = jnp.asarray(rng.standard_normal((P, n, k)))
+    X, T = fused_spd_multirhs_split(A, B)
+    Xr = jnp.linalg.solve(A, B)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xr), rtol=1e-8,
+                               atol=1e-10)
+    Tr = np.einsum("bik,bij->bkj", np.asarray(B), np.asarray(Xr))
+    np.testing.assert_allclose(np.asarray(T), Tr, rtol=1e-8, atol=1e-10)

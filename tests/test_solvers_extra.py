@@ -106,3 +106,83 @@ def test_two_level_stencil_variant_matches_dense():
     s2.compute_basis(); s2.assemble_coarse_operator(); s2.assemble_fine_rhs()
     s2.solve_fine_fem()
     assert it_two < int(s2.fine_cg.n_iter)
+
+
+def test_cg_exact_iteration_count_and_converged_flag():
+    """The chunked-while CG must report the exact per-iteration deal.II
+    count and an explicit converged flag: a solve converging inside the
+    final chunk (ADVICE r2) or exactly at max_steps must not be flagged as
+    non-converged, and iterations never exceed max_steps."""
+    from dealii_slod_tpu.ops.solvers import cg
+
+    rng = np.random.default_rng(1)
+    n = 60
+    M = rng.standard_normal((n, n))
+    A = jnp.asarray(M @ M.T + n * np.eye(n))
+    b = jnp.asarray(rng.standard_normal(n))
+    mv = lambda x: A @ x
+
+    # unchunked reference run (check_every=1 == textbook per-iteration stop)
+    ref = cg(mv, b, max_steps=500, tolerance=1e-12, reduce=1e-10,
+             check_every=1)
+    res = cg(mv, b, max_steps=500, tolerance=1e-12, reduce=1e-10,
+             check_every=8)
+    assert bool(ref.converged) and bool(res.converged)
+    assert int(res.n_iter) == int(ref.n_iter)     # exact, not chunk-rounded
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-10)
+
+    # converging exactly AT the cap is converged, one past it is not
+    it = int(ref.n_iter)
+    at_cap = cg(mv, b, max_steps=it, tolerance=1e-12, reduce=1e-10,
+                check_every=8)
+    assert bool(at_cap.converged) and int(at_cap.n_iter) == it
+    capped = cg(mv, b, max_steps=it - 2, tolerance=1e-12, reduce=1e-10,
+                check_every=8)
+    assert not bool(capped.converged)
+    assert int(capped.n_iter) == it - 2           # clamped to max_steps
+
+    # initial guess already converged -> zero iterations
+    x_exact = jnp.linalg.solve(A, b)
+    warm = cg(mv, b, x0=x_exact, max_steps=50, tolerance=1e-8, reduce=1e-6,
+              check_every=8)
+    assert bool(warm.converged) and int(warm.n_iter) == 0
+
+
+def test_channel_field_rejects_3d():
+    """The reference channel_parameter is an (x, y)-only pattern
+    (Elasticity.h:56-89); a silent 2D extrusion in 3D would misrepresent
+    the geometry (VERDICT r2) — constructing it with dim=3 must raise."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        ChannelField(1.0, 100.0, 6, dim=3)
+
+
+def test_two_level_cap_routes_to_stencil_variant():
+    """Above ``two_level_dense_cap`` the fine preconditioner must use the
+    cap-free stencil Chebyshev correction instead of materializing a
+    (P*C)^2 dense factor (VERDICT r2: the old 32768 cap allowed an 8.6 GB
+    host allocation)."""
+    from dealii_slod_tpu.config import ReductionControl, SLODConfig
+    from dealii_slod_tpu.models import DiffusionProblem, LODSolver
+
+    kw = dict(dim=2, n_global_refinements=3, n_subdivisions=2,
+              oversampling=2, lod_stabilization=True,
+              constant_coefficients=False, coef_seed=9, rhs="1", bc="0",
+              fine_preconditioner="two_level",
+              two_level_dense_cap=16)        # 64 patches > cap
+    cfg = SLODConfig(**kw)
+    s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+    s.compute_basis(); s.assemble_coarse_operator(); s.assemble_fine_rhs()
+    called = {}
+    orig = s._two_level_precond_stencil
+
+    def spy(diag):
+        called["stencil"] = True
+        return orig(diag)
+
+    s._two_level_precond_stencil = spy
+    s.solve_fine_fem()
+    assert called.get("stencil"), "dense path used above the cap"
+    assert bool(s.fine_cg.converged)

@@ -85,3 +85,23 @@ def test_uniform_chunked_build_step():
     sol2.assemble_fine_rhs()
     u2, _ = jax.jit(sol2.build_step())(sol2.coef_q, sol2.fem_rhs)
     np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-9)
+
+
+def test_chunk_scan_matches_chunk_loop():
+    """The single-dispatch lax.scan over basis chunks must be bit-identical
+    to the per-chunk python loop (it runs the same chunk kernel)."""
+    import numpy as np
+    from dealii_slod_tpu.config import SLODConfig
+    from dealii_slod_tpu.models import DiffusionProblem, LODSolver
+
+    kw = dict(dim=2, n_global_refinements=3, n_subdivisions=2,
+              oversampling=2, lod_stabilization=True,
+              constant_coefficients=False, coef_seed=0, patch_chunk=16)
+    a = LODSolver(SLODConfig(**kw, chunk_scan=True),
+                  DiffusionProblem(SLODConfig(**kw)), verbose=False)
+    b = LODSolver(SLODConfig(**kw, chunk_scan=False),
+                  DiffusionProblem(SLODConfig(**kw)), verbose=False)
+    Pa, Aa = a.compute_basis()
+    Pb, Ab = b.compute_basis()
+    np.testing.assert_array_equal(np.asarray(Pa), np.asarray(Pb))
+    np.testing.assert_array_equal(np.asarray(Aa), np.asarray(Ab))
