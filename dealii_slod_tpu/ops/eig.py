@@ -493,11 +493,18 @@ def smallk_truncated_dvec(G: jnp.ndarray, g0: jnp.ndarray, k: int = 32,
         jitter = 1e-13 if dt == jnp.float64 else 1e-6
     d = jnp.diagonal(G, axis1=-2, axis2=-1)
     dmax = jnp.max(jnp.abs(d), axis=-1)                    # (B,)
-    delta = jitter * dmax
+    # full-domain patches have no 99-boundary trace: G == 0 identically and
+    # the correct stabilization is dvec == 0 (the SLOD formula degenerates
+    # to the plain LOD candidate, reference LOD.cc:563-564).  Keep the
+    # batch computation finite with a unit stand-in scale and mask the
+    # result — without this the zero jitter makes the inverse singular.
+    ok = dmax > 0
+    delta = jitter * jnp.where(ok, dmax, 1.0)
     eyeN = jnp.eye(n, dtype=dt)
     Gj = G + delta[:, None, None] * eyeN
     Ginv = gj_inverse_pallas(Gj)
     d0 = -jnp.einsum("bij,bj->bi", Ginv, g0)
+    d0 = jnp.where(ok[:, None], d0, 0.0)
     k = min(int(k), n)
     k -= k % 2
     if k <= 0:
@@ -538,7 +545,7 @@ def smallk_truncated_dvec(G: jnp.ndarray, g0: jnp.ndarray, k: int = 32,
         return (dvec, done), None
 
     (dvec, _), _ = jax.lax.scan(body, (d0, jnp.zeros((B,), bool)), (Vs, ps))
-    return dvec
+    return jnp.where(ok[:, None], dvec, 0.0)
 
 
 def jacobi_eigh_factor(G: jnp.ndarray, sweeps: int = 12, block: int = 16,

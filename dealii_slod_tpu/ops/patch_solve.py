@@ -196,13 +196,15 @@ def _fused_kernel_ldl_dma_nt(pl, pltpu, nb, n_blocks, bs, a_hbm, b_hbm,
     cpb.start()
     cpa.wait()
     cpb.wait()
-    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_scr, None)
+    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_scr, None,
+                      col_blocked=True)
     cpx = pltpu.make_async_copy(x_scr, x_hbm.at[pl.ds(i * bs, bs)], sem_x)
     cpx.start()
     cpx.wait()
 
 
-def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref):
+def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref,
+                      col_blocked=False):
     """Block-LDL^T fused factor + multi-RHS solve + triple product.
 
     A = L D L^T with unit-diagonal block lower L and SPD diagonal blocks D;
@@ -234,10 +236,27 @@ def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref):
             if j + 1 < n_blocks:
                 Aij = a_ref[i, j1:n, j0:j1]            # raw sub-diag panel
                 W = _mm(Aij, Dinv[i])                  # L_{i>j, j}
-                a_ref[i, j1:n, j0:j1] = W
-                a_ref[i, j1:n, j1:n] = (a_ref[i, j1:n, j1:n]
-                                        - _mmT(W, Aij))  # Schur
-                b_ref[i, j1:n, :] = b_ref[i, j1:n, :] - _mm(W, zj)
+                if col_blocked:
+                    # panel-blocked trailing updates: the whole-trailing
+                    # Schur temp ((n-j1)^2) and rhs temp ((n-j1) x k) blow
+                    # the 16 MB scoped-VMEM budget at elasticity sizes;
+                    # per 128-column panel the temps are (n, nb) / (nb, k).
+                    # W stays a value so the raw Aij rows remain readable
+                    # from a_ref until every panel is updated.
+                    for jj in range(j + 1, n_blocks):
+                        jj0, jj1 = jj * nb, (jj + 1) * nb
+                        a_ref[i, j1:n, jj0:jj1] = (
+                            a_ref[i, j1:n, jj0:jj1]
+                            - _mmT(W, a_ref[i, jj0:jj1, j0:j1]))
+                        b_ref[i, jj0:jj1, :] = (
+                            b_ref[i, jj0:jj1, :]
+                            - _mm(W[jj0 - j1:jj1 - j1], zj))
+                    a_ref[i, j1:n, j0:j1] = W
+                else:
+                    a_ref[i, j1:n, j0:j1] = W
+                    a_ref[i, j1:n, j1:n] = (a_ref[i, j1:n, j1:n]
+                                            - _mmT(W, Aij))  # Schur
+                    b_ref[i, j1:n, :] = b_ref[i, j1:n, :] - _mm(W, zj)
             b_ref[i, j0:j1, :] = wj                    # z_j -> w_j in place
 
     # ---- backward: X = L^-T w (in place in b_ref) ----
@@ -269,7 +288,10 @@ def gj_inverse_pallas(A: jnp.ndarray, bs: int = 16,
     B0, n0, _ = A.shape
     dt = A.dtype
     n = -(-n0 // 128) * 128
-    bs = min(bs, B0)
+    # VMEM guard: the pipelined in+out blocks double-buffer (~3 residencies
+    # of bs*n^2 floats); shrink bs for large blocks (e.g. the 384-dof
+    # elasticity coarse matrices at the default bs=16 would need 18 MB)
+    bs = min(bs, max(1, int(12e6 / (28 * n * n))), B0)
     B = -(-B0 // bs) * bs
     Ap = jnp.zeros((B, n, n), dt)
     Ap = Ap.at[:B0, :n0, :n0].set(A)
@@ -393,36 +415,67 @@ def spd_multirhs_solve_dma(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     return X[:, :n0, :k0]
 
 
-@partial(jax.jit, static_argnames=("nb",))
-def fused_spd_multirhs_split(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128):
-    """Fused SPD multi-RHS solve + triple product for matrices too large for
-    one VMEM residency (3D elasticity: n = 3 * 729 = 2187 -> ~21 MB), by an
-    exact 2x2 block-Cholesky (Schur-complement) split:
+# scoped-VMEM budget for one solve-only DMA call: scratch A (4 n^2) +
+# scratch X (4 n k) must leave room for the kernel's panel temps and the
+# GJ working set (~3-4 MB of the 16 MB scope)
+_SOLVE_VMEM_BUDGET = int(9.5e6)
 
-        A = [[A11, A12], [A12^T, A22]],   S = A22 - A12^T A11^-1 A12
 
-    Each half (~n/2) fits the solve-only DMA kernel; the Schur update, the
-    back-substitution and T = B^T X are large MXU matmuls at the XLA level.
-    Same contract as `fused_spd_multirhs`: returns (X = A^-1 B,
-    T = B^T A^-1 B).  Replaces the reference's whole-patch Amesos KLU solve
-    (include/LODtools.h:511-595) at elasticity sizes."""
+def _solve_fits(n: int, k: int, nb: int) -> bool:
+    np_ = -(-n // nb) * nb
+    kp = -(-k // 128) * 128
+    return 4 * (np_ * np_ + np_ * kp) <= _SOLVE_VMEM_BUDGET
+
+
+def _solve_rec(A: jnp.ndarray, B: jnp.ndarray, nb: int) -> jnp.ndarray:
+    """Solve-only A^-1 B with recursive 2x2 block-Cholesky (Schur) splits
+    until each sub-solve fits the VMEM budget.  Exact algebra; the Schur
+    formation / back-substitution are batched MXU matmuls at the XLA
+    level."""
     P, n0, _ = A.shape
-    n1 = min(128 * (-(-n0 // 256)), n0 - 1)
+    k0 = B.shape[-1]
+    if _solve_fits(n0, k0, nb):
+        return spd_multirhs_solve_dma(A, B, nb=nb)
+    # largest leading block whose (A11, [A12 | B1]) call fits
+    n1 = 0
+    for cand in range(nb, n0, nb):
+        if _solve_fits(cand, (n0 - cand) + k0, nb):
+            n1 = cand
+    if n1 == 0:
+        # RHS too wide even for the smallest block: split the RHS columns
+        half = -(-k0 // 256) * 128
+        return jnp.concatenate(
+            [_solve_rec(A, B[:, :, :half], nb),
+             _solve_rec(A, B[:, :, half:], nb)], axis=-1)
     A11 = A[:, :n1, :n1]
     A12 = A[:, :n1, n1:]
     A22 = A[:, n1:, n1:]
-    B1 = B[:, :n1, :]
-    B2 = B[:, n1:, :]
-    U = spd_multirhs_solve_dma(A11, jnp.concatenate([A12, B1], axis=-1),
-                               nb=nb)
+    U = _solve_rec(A11, jnp.concatenate([A12, B[:, :n1, :]], axis=-1), nb)
     n2 = n0 - n1
     U_A = U[:, :, :n2]                       # A11^-1 A12
     U_B = U[:, :, n2:]                       # A11^-1 B1
     S = A22 - jnp.einsum("bji,bjk->bik", A12, U_A)
-    Y = B2 - jnp.einsum("bji,bjk->bik", A12, U_B)
-    X2 = spd_multirhs_solve_dma(S, Y, nb=nb)
+    Y = B[:, n1:, :] - jnp.einsum("bji,bjk->bik", A12, U_B)
+    X2 = _solve_rec(S, Y, nb)
     X1 = U_B - jnp.einsum("bik,bkj->bij", U_A, X2)
-    X = jnp.concatenate([X1, X2], axis=1)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+@partial(jax.jit, static_argnames=("nb",))
+def fused_spd_multirhs_split(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128):
+    """Fused SPD multi-RHS solve + triple product for matrices too large for
+    one VMEM residency (3D elasticity: n = 3 * 729 = 2187 -> ~21 MB), by
+    exact recursive 2x2 block-Cholesky (Schur-complement) splits:
+
+        A = [[A11, A12], [A12^T, A22]],   S = A22 - A12^T A11^-1 A12
+
+    Each sub-block runs the solve-only DMA kernel (panel-blocked trailing
+    updates keep its scoped-VMEM temps small); Schur formation, the
+    back-substitution and T = B^T X are large MXU matmuls at the XLA level.
+    Same contract as `fused_spd_multirhs`: returns (X = A^-1 B,
+    T = B^T A^-1 B).  Replaces the reference's whole-patch Amesos KLU solve
+    (include/LODtools.h:511-595) at elasticity sizes."""
+    X = _solve_rec(A, B, nb)
     T = jnp.einsum("bik,bij->bkj", B, X)
     return X, 0.5 * (T + jnp.swapaxes(T, -1, -2))
 

@@ -132,3 +132,29 @@ def test_factor_form_matches_eigh():
             v = np.asarray(V[i, :, j])
             r = np.asarray(G[i]) @ v - float(lam[i, j]) * v
             assert np.abs(r).max() < 1e-6 * float(lam[i, 0])
+
+
+def test_smallk_zero_gram_degenerates_to_zero():
+    """Full-domain patches produce an identically-zero Gram (no 99-boundary
+    trace, reference LOD.cc:563-564); the smallk stage must return dvec = 0
+    for them — and stay finite — while handling regular Grams in the same
+    batch."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dealii_slod_tpu.ops.eig import smallk_truncated_dvec
+
+    rng = np.random.default_rng(0)
+    n = 24
+    M = rng.standard_normal((n, n))
+    G_ok = M @ M.T + n * np.eye(n)
+    G = np.stack([G_ok, np.zeros((n, n)), G_ok])
+    g0 = np.stack([G_ok @ rng.standard_normal(n) * 1e-3,
+                   np.zeros(n),
+                   G_ok @ rng.standard_normal(n) * 1e-3])
+    d = np.asarray(smallk_truncated_dvec(jnp.asarray(G), jnp.asarray(g0),
+                                         k=8))
+    assert np.isfinite(d).all()
+    np.testing.assert_array_equal(d[1], 0.0)
+    ref = -np.linalg.solve(G_ok + 1e-13 * np.abs(np.diag(G_ok)).max()
+                           * np.eye(n), g0[0])
+    np.testing.assert_allclose(d[0], ref, rtol=1e-6, atol=1e-12)
