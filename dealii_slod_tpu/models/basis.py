@@ -298,8 +298,8 @@ class BasisKernels:
 
         use_banded = cfg.assembly_mode == "banded"
         from dealii_slod_tpu.ops.assembly import (assemble_bands,
-                                                  bands_to_dense,
-                                                  bands_to_offset_dense,
+                                                  band_placement_matrix,
+                                                  bands_to_dense_mm,
                                                   make_band_tensors)
         if use_banded:
             band_tensors = make_band_tensors(et)
@@ -310,6 +310,40 @@ class BasisKernels:
         offs_j = jnp.asarray(offs_np.astype(np.int32))       # (3^dim, dim)
         center_o = int(np.nonzero((offs_np == 0).all(axis=1))[0][0])
         n_off = 3 ** cfg.dim
+        if use_banded:
+            P_int = band_placement_matrix(int_dims_np)       # A_solve embed
+            node_strides_np = np.concatenate(
+                [[1], np.cumprod(node_dims_np[:-1])]).astype(int)
+            offs_flat_np = (offs_np @ node_strides_np).astype(int)
+            shiftN = int(node_strides_np.sum())
+
+        def stencil_apply(band, X_int):
+            """Y = A[:, interior] @ X without materializing the rectangular
+            (nI, nD) interior-rows block: 3^dim static shifted slices of the
+            zero-extended X, each weighted by its band column — XLA fuses
+            the whole sum into one elementwise pass, so the per-patch
+            traffic is ~(band + 2 X) instead of the nI x nD dense block
+            (which at the 3D bench config was 3.9 MB/patch to build, write
+            and re-read).  Wrap-around flat positions are provably zero
+            because off-grid neighbors have zero band values (the coupling
+            subcells are clipped).  band (nN, 3^dim, C, C), X (nI, k) ->
+            (nD, k)."""
+            k = X_int.shape[-1]
+            Xz = scatter_interior(X_int).reshape(n_nodes, C, k)
+            Xp = jnp.pad(Xz, ((shiftN, shiftN), (0, 0), (0, 0)))
+            acc = None
+            for oi in range(n_off):
+                s0 = shiftN + int(offs_flat_np[oi])
+                Xs = jax.lax.slice_in_dim(Xp, s0, s0 + n_nodes, axis=0)
+                t = jnp.einsum("ncd,ndk->nck", band[:, oi], Xs)
+                acc = t if acc is None else acc + t
+            return acc.reshape(n_nodes * C, k)
+
+        if use_banded:
+            apply_AI = stencil_apply
+        else:
+            def apply_AI(A_rows_I, X):
+                return jnp.einsum("in,ik->nk", A_rows_I, X)
 
         def prep(coef_list, nlo, nhi):
             """Assembled operators + masks for one patch window.
@@ -338,8 +372,6 @@ class BasisKernels:
                 band = assemble_bands(coefs, band_tensors, sub_dims_np)
                 band_g = band.reshape(grid_rev + (n_off, C, C))
                 band_I = band_g[inner].reshape(-1, n_off, C, C)
-                A_rows_I = bands_to_offset_dense(band_I, int_dims_np,
-                                                 node_dims_np)
                 nb = int_coords[:, None, :] + offs_j[None, :, :]
                 nb_in = ((nb > nlo) & (nb < nhi)).all(axis=2)  # (n_int, O)
                 mnode = node_int.astype(dt)
@@ -347,7 +379,11 @@ class BasisKernels:
                                    * nb_in.astype(dt))[:, :, None, None]
                 band_s = band_s.at[:, center_o].add(
                     jnp.eye(C, dtype=dt)[None] * (1.0 - mnode)[:, None, None])
-                A_solve = bands_to_dense(band_s, int_dims_np)
+                A_solve = bands_to_dense_mm(band_s, *P_int)
+                # the operator flows downstream in BAND form (nN, 3^dim,
+                # C, C) — 27x less HBM than the (nI, nD) dense block; the
+                # trace/premultiply products apply it via `stencil_apply`
+                A_rows_I = band
             else:
                 Ksub = make_subcell_matrices(et, coefs)
                 A_raw = assemble_dense(Ksub, flat_idx, nD)
@@ -386,8 +422,7 @@ class BasisKernels:
                 is99d = jnp.repeat(is99, C).astype(dt)
                 # S_boundary rows (unconstrained stiffness at 99-dofs,
                 # LOD.cc:520-528), interior columns
-                S_AiPT = (jnp.einsum("in,ik->nk", A_rows_I, Ainv_PT)
-                          * is99d[:, None])
+                S_AiPT = apply_AI(A_rows_I, Ainv_PT) * is99d[:, None]
                 PT_b = PT * is99d[:, None] * cvd[None, :]
                 BD = (S_AiPT - PT_b) @ Tinv                  # (nD, cD)
                 cols = []
@@ -437,7 +472,7 @@ class BasisKernels:
             # premultiplied basis (LOD.cc:758-765): phi is supported on the
             # window interior, so A_semi phi == A[:, interior] @ phi_int with
             # domain-boundary rows zeroed
-            Aphi = jnp.einsum("in,ik->nk", A_rows_I, phi_int)
+            Aphi = apply_AI(A_rows_I, phi_int)
             Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
             # outputs are already canvas-aligned
             return (phi.reshape(n_nodes, C, C),
@@ -475,8 +510,7 @@ class BasisKernels:
             scalar chains)."""
             _, is99 = edge_masks(nlo, nhi, sides_dom)
             is99d = jnp.repeat(is99, C).astype(dt)
-            S_AiPT = (jnp.einsum("in,ik->nk", A_rows_I, Ainv_PT)
-                      * is99d[:, None])
+            S_AiPT = apply_AI(A_rows_I, Ainv_PT) * is99d[:, None]
             PT_b = PT * is99d[:, None] * cvd[None, :]
             BD = (S_AiPT - PT_b) @ Tinv
             Gs, g0s = [], []
@@ -506,7 +540,7 @@ class BasisKernels:
             norms = jnp.sqrt((phi_int ** 2).sum(axis=0))
             phi_int = phi_int / norms
             phi = scatter_interior(phi_int)
-            Aphi = jnp.einsum("in,ik->nk", A_rows_I, phi_int)
+            Aphi = apply_AI(A_rows_I, phi_int)
             Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
             return (phi.reshape(n_nodes, C, C),
                     Aphi.reshape(n_nodes, C, C))
@@ -540,7 +574,7 @@ class BasisKernels:
             norms = jnp.sqrt((phi_int ** 2).sum(axis=0))
             phi_int = phi_int / norms
             phi = scatter_interior(phi_int)
-            Aphi = jnp.einsum("in,ik->nk", A_rows_I, phi_int)
+            Aphi = apply_AI(A_rows_I, phi_int)
             Aphi = jnp.where(jnp.repeat(isdom, C)[:, None], 0.0, Aphi)
             return (phi.reshape(n_nodes, C, C),
                     Aphi.reshape(n_nodes, C, C))

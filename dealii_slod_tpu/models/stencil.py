@@ -293,3 +293,40 @@ class StencilOps:
     def coarse_matvec(self, u: jnp.ndarray) -> jnp.ndarray:
         """u: (P, C) -> A_LOD u (P, C) via stencil gather."""
         return self._coarse_matvec_with(self.A_stencil, u)
+
+    def _dense_placement(self):
+        """Constant (S, P + 1) 0/1 placement matrix embedding the coarse
+        stencil into the dense lattice matrix (banded-stride trick on the
+        coarse lattice, same algebra as ops.assembly.bands_to_dense_mm)."""
+        if not hasattr(self, "_dense_P_cache"):
+            dims = np.asarray(self.grid.cell_dims, dtype=int)
+            strides = np.concatenate([[1], np.cumprod(dims[:-1])]).astype(int)
+            s = np.asarray(self.stencil_offsets) @ strides
+            shift = int(-s.min())
+            nN = self.topo.n_patches
+            Pm = np.zeros((len(s), nN + 1), np.float32)
+            Pm[np.arange(len(s)), s + shift] = 1.0
+            self._dense_P_cache = (Pm, shift, nN)
+        return self._dense_P_cache
+
+    def coarse_dense_matrix(self, A_st) -> jnp.ndarray:
+        """Dense (P*C, P*C) coarse operator from the stencil blocks —
+        ONE placement matmul + flat slice (in-graph, jit-safe).  Off-lattice
+        stencil slots are zeroed by ``stencil_valid`` so banded-stride wraps
+        vanish.  Used below the ``coarse_dense_cap``: a dense matvec reads
+        ~(P C)^2 floats/iteration with no gather, ~10x cheaper than the
+        27-slice neighbor-stack build at the bench config."""
+        from dealii_slod_tpu.ops.assembly import bands_to_dense_mm
+        Pm, shift, nN = self._dense_placement()
+        vals = A_st * self.stencil_valid[:, :, None, None].astype(A_st.dtype)
+        return bands_to_dense_mm(vals, Pm, shift, nN)
+
+    def _coarse_matvec_fn(self, A_st):
+        """Matvec closure for the coarse CG: dense-embedded below the cap
+        (the dense matrix is built ONCE outside the CG loop), stencil
+        slice-stack beyond (scales to any patch count)."""
+        n = self.topo.n_patches * self.C
+        if n <= getattr(self.cfg, "coarse_dense_cap", 8192):
+            Ad = self.coarse_dense_matrix(A_st)
+            return lambda u: (Ad @ u.reshape(-1)).reshape(u.shape)
+        return lambda u: self._coarse_matvec_with(A_st, u)

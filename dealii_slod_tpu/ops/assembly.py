@@ -201,6 +201,49 @@ def assemble_dense_banded(coefs: Dict[str, jnp.ndarray], band_tensors,
     return bands_to_dense(band, node_dims)
 
 
+def band_placement_matrix(node_dims) -> tuple:
+    """Constant (3^dim, nN + 1) 0/1 placement matrix for the banded-stride
+    embedding: column block ``shift + s_o`` of a width-(nN+1) row buffer is
+    offset o (s_o = delta_o . strides, shift = sum strides).  Returns
+    (P, shift, nN)."""
+    dims = np.asarray(node_dims, dtype=int)
+    strides = np.concatenate([[1], np.cumprod(dims[:-1])]).astype(int)
+    offs = cartesian_coords(np.full(len(dims), 3)) - 1
+    s = offs @ strides
+    shift = int(strides.sum())
+    nN = int(dims.prod())
+    P = np.zeros((len(offs), nN + 1), np.float32)
+    P[np.arange(len(offs)), s + shift] = 1.0
+    return P, shift, nN
+
+
+def bands_to_dense_mm(band: jnp.ndarray, P, shift: int, nN: int
+                      ) -> jnp.ndarray:
+    """`bands_to_dense` as ONE placement matmul + one flat slice.
+
+    The pad-merge cascade of `bands_to_dense` materializes the growing
+    buffer once per spatial axis (strided pads that TPU memcpys poorly —
+    it dominated the prep stage at the 3D bench config); here row i's
+    width-(nN+1) block is band[i] @ P (an MXU matmul on a constant 0/1
+    matrix) and the dense matrix is a single contiguous flat slice of the
+    (nN, nN+1) result.  ``P, shift, nN`` from `band_placement_matrix`."""
+    _, O, C, _ = band.shape
+    Pj = jnp.asarray(P, band.dtype)
+    # HIGHEST: the placement matmul is pure data movement (P is 0/1) and
+    # must not round the band values through bf16 MXU inputs
+    hi = jax.lax.Precision.HIGHEST
+    if C == 1:
+        B = jnp.einsum("no,ow->nw", band[:, :, 0, 0], Pj,
+                       precision=hi)                  # (nN, nN+1)
+        return B.reshape(-1)[shift:shift + nN * nN].reshape(nN, nN)
+    # per component pair: a C=1-style embedding, then block interleave
+    M = jnp.einsum("nocd,ow->cdnw", band, Pj,
+                   precision=hi)                      # (C, C, nN, nN+1)
+    F = M.reshape(C, C, -1)[:, :, shift:shift + nN * nN]
+    F = F.reshape(C, C, nN, nN)
+    return jnp.transpose(F, (2, 0, 3, 1)).reshape(nN * C, nN * C)
+
+
 def bands_to_offset_dense(band: jnp.ndarray, row_dims, col_dims,
                           row_off=None) -> jnp.ndarray:
     """Rectangular dense block (n_rows*C, n_cols*C) from nodal-stencil

@@ -268,6 +268,56 @@ def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref,
                                          b_ref[i, j1:n, :]))
 
 
+def _fused_kernel_ldlt_dma(pl, pltpu, nb, n_blocks, n, k, bs, ah_hbm,
+                           xt_ref, scr, sem):
+    """Stacked transposed-RHS LDL^T: the instance's working set is ONE
+    (bs, n + k, n) buffer  Ahat = [[A], [B^T]].
+
+    Why: in the row-major RHS formulation every panel step issues 5 dots
+    per patch (panel solve, Schur, RHS update, w, T-accumulate) and Mosaic
+    pays ~2 us of issue overhead per dot — the kernel is op-issue-bound,
+    not MXU-bound (ROADMAP round-2/3 measurements).  With B^T stacked
+    *below* A the Schur update of the trailing A rows and the forward
+    update of the RHS rows are THE SAME matmul:
+
+        col_j = Ahat[j1:, j0:j1]          (raw trailing A panel over z_j^T)
+        W_all = col_j D_j^-1              -> [L_panel ; w_j^T]   (1 dot)
+        Ahat[j1:, j1:n] -= W_all A_panel^T                       (1 dot)
+
+    because  b^T[:, j1:n] -= z_j^T D^-1 A_panel^T = (W z_j)^T  is exactly
+    the bottom-row block of the joint update.  2 dots per (patch, panel) —
+    both larger than any dot of the 5-dot form — and T = B^T X moves out
+    of the kernel to one batched XLA einsum.  The backward substitution
+    runs on the bottom rows in place, leaving X^T there."""
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(ah_hbm.at[pl.ds(i * bs, bs)], scr, sem)
+    cp.start()
+    cp.wait()
+    m = n + k
+
+    for j in range(n_blocks):
+        j0, j1 = j * nb, (j + 1) * nb
+        Dinv = _gj_invert_spd(scr[:, j0:j1, j0:j1], nb, bs)
+        for b in range(bs):
+            colj = scr[b, j1:m, j0:j1]            # (m - j1, nb), raw
+            W_all = _mm(colj, Dinv[b])            # [L_{>j,j} ; w_j^T]
+            if j + 1 < n_blocks:
+                rawA = colj[:n - j1]              # raw trailing A panel
+                scr[b, j1:m, j1:n] = (scr[b, j1:m, j1:n]
+                                      - _mmT(W_all, rawA))
+            scr[b, j1:m, j0:j1] = W_all
+
+    # backward: X^T = w^T - X^T_{trail} L_{trail, j}  (in place in xt_ref)
+    for b in range(bs):
+        xt_ref[b] = scr[b, n:m, :]
+    for j in range(n_blocks - 2, -1, -1):
+        j0, j1 = j * nb, (j + 1) * nb
+        for b in range(bs):
+            xt_ref[b, :, j0:j1] = (xt_ref[b, :, j0:j1]
+                                   - _mm(xt_ref[b, :, j1:n],
+                                         scr[b, j1:n, j0:j1]))
+
+
 def _gj_inverse_kernel(nb, bs, a_in, o_ref):
     o_ref[:] = _gj_invert_spd(a_in[:], nb, bs)
 
@@ -573,6 +623,28 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
                 interpret=interpret,
             )(Ap, Bp)
         return X[:P, :n0, :k0], T[:P, :k0, :k0]
+
+    if algo == "ldlt":
+        # stacked transposed-RHS formulation: 2 (larger) dots per
+        # (patch, panel) instead of 5, T computed outside the kernel
+        if interpret:
+            X = jnp.linalg.solve(Ap, Bp)[:P, :n0, :k0]
+        else:
+            m = n + k
+            Ah = jnp.concatenate([Ap, jnp.swapaxes(Bp, 1, 2)], axis=1)
+            Xt = pl.pallas_call(
+                partial(_fused_kernel_ldlt_dma, pl, pltpu, nb, n_blocks,
+                        n, k, bs),
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+                out_specs=pl.BlockSpec((bs, k, n), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((Pp, k, n), dt),
+                scratch_shapes=[pltpu.VMEM((bs, n + k, n), dt),
+                                pltpu.SemaphoreType.DMA],
+            )(Ah)
+            X = jnp.swapaxes(Xt, 1, 2)[:P, :n0, :k0]
+        T = jnp.einsum("bnk,bnj->bkj", B, X)
+        return X, 0.5 * (T + jnp.swapaxes(T, -1, -2))
 
     if algo == "ldl_noalias":
         _, X, T = pl.pallas_call(
