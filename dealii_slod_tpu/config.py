@@ -275,6 +275,12 @@ class SLODConfig:
                                       # directly (128 MB f64 at the cap);
                                       # larger systems use the cap-free
                                       # stencil Chebyshev coarse correction
+    coarse_dense_cap: int = 8192      # largest coarse system (n_patches *
+                                      # n_components) whose CG matvec uses
+                                      # the dense placement-embedded lattice
+                                      # matrix (256 MB f32 at the cap, built
+                                      # once per solve) instead of the
+                                      # per-iteration stencil neighbor stack
     profile_dir: str = ""             # non-empty: wrap the pipeline in a
                                       # jax.profiler trace written there
                                       # (TPU replacement for the reference's

@@ -277,9 +277,9 @@ class LODSolver(BasisKernels, StencilOps):
         diag = jnp.einsum("pdd->pd",
                           self.A_stencil[:, self.center_offset_idx])
         rc = self.cfg.coarse_solver
-        res = cg(self.coarse_matvec, rhs_c, max_steps=rc.max_steps,
-                 tolerance=rc.tolerance, reduce=rc.reduce,
-                 precond=lambda r: r / diag)
+        res = cg(self._coarse_matvec_fn(self.A_stencil), rhs_c,
+                 max_steps=rc.max_steps, tolerance=rc.tolerance,
+                 reduce=rc.reduce, precond=lambda r: r / diag)
         self.coarse_solution = res.x                          # (P, C)
         self.coarse_cg = res
         self.log(f"   size of u {res.x.size}")
@@ -412,7 +412,7 @@ class LODSolver(BasisKernels, StencilOps):
             rhs_c = constrain(jnp.einsum("pncd,pnc->pd", Phi, f_at))
             diag = jnp.einsum("pdd->pd", A_st[:, self.center_offset_idx])
             rc = self.cfg.coarse_solver
-            res = cg(lambda u: self._coarse_matvec_with(A_st, u), rhs_c,
+            res = cg(self._coarse_matvec_fn(A_st), rhs_c,
                      max_steps=rc.max_steps, tolerance=rc.tolerance,
                      reduce=rc.reduce, precond=lambda r: r / diag)
             return res.x, A_st

@@ -304,9 +304,14 @@ class StencilOps:
             s = np.asarray(self.stencil_offsets) @ strides
             shift = int(-s.min())
             nN = self.topo.n_patches
-            Pm = np.zeros((len(s), nN + 1), np.float32)
-            Pm[np.arange(len(s)), s + shift] = 1.0
-            self._dense_P_cache = (Pm, shift, nN)
+            if 2 * shift + 1 > nN + 1:
+                # stencil span exceeds the width-(nN+1) row block (tiny
+                # lattices): fall back to a one-time static scatter
+                self._dense_P_cache = None
+            else:
+                Pm = np.zeros((len(s), nN + 1), np.float32)
+                Pm[np.arange(len(s)), s + shift] = 1.0
+                self._dense_P_cache = (Pm, shift, nN)
         return self._dense_P_cache
 
     def coarse_dense_matrix(self, A_st) -> jnp.ndarray:
@@ -317,9 +322,23 @@ class StencilOps:
         ~(P C)^2 floats/iteration with no gather, ~10x cheaper than the
         27-slice neighbor-stack build at the bench config."""
         from dealii_slod_tpu.ops.assembly import bands_to_dense_mm
-        Pm, shift, nN = self._dense_placement()
+        P, C = self.topo.n_patches, self.C
+        placement = self._dense_placement()
         vals = A_st * self.stencil_valid[:, :, None, None].astype(A_st.dtype)
-        return bands_to_dense_mm(vals, Pm, shift, nN)
+        if placement is None:
+            # static-scatter fallback (collision-free: every valid
+            # (row, slot) is a distinct (row, col))
+            q, k = np.nonzero(np.asarray(self.stencil_valid))
+            p = np.asarray(self.stencil_nbr)[q, k]
+            cc = np.arange(C)
+            rows = (q[:, None, None] * C + cc[None, :, None]
+                    ) * np.ones((1, 1, C), int)
+            cols = (p[:, None, None] * C
+                    + cc[None, None, :]) * np.ones((1, C, 1), int)
+            dense = jnp.zeros((P * C, P * C), A_st.dtype)
+            return dense.at[rows.reshape(-1), cols.reshape(-1)].set(
+                vals[q, k].reshape(-1))
+        return bands_to_dense_mm(vals, *placement)
 
     def _coarse_matvec_fn(self, A_st):
         """Matvec closure for the coarse CG: dense-embedded below the cap

@@ -291,3 +291,34 @@ def test_convergence_rates_multirow_table():
             rtol=1e-12)
     assert len(table.rows) == 3 and "errLOD_" in str(table)
     assert errs[1] < errs[0] / 4 and errs[2] < errs[1] / 4, errs
+
+
+@pytest.mark.parametrize("n_components,refine", [(1, 2), (2, 2), (1, 3)])
+def test_coarse_dense_matrix_matches_stencil(n_components, refine):
+    """The placement-embedded dense coarse matrix (models/stencil.py
+    coarse_dense_matrix) equals the loop-scattered stencil expansion, and
+    its matvec equals the slice-stack stencil matvec.  refine=2 exercises
+    the static-scatter fallback (stencil span > lattice row block),
+    refine=3 the placement-matmul path."""
+    sol = make_solver(n_components=n_components, n_global_refinements=refine,
+                      constant_coefficients=False, coef_seed=5)
+    sol.compute_basis()
+    sol.assemble_coarse_operator()
+    P, C = sol.topo.n_patches, sol.C
+    A_st = np.asarray(sol.A_stencil)
+    nbr = np.asarray(sol.stencil_nbr)
+    valid = np.asarray(sol.stencil_valid)
+    A_full = np.zeros((P * C, P * C))
+    for q in range(P):
+        for k in range(sol.n_stencil):
+            if valid[q, k]:
+                p = nbr[q, k]
+                A_full[q * C:(q + 1) * C, p * C:(p + 1) * C] = A_st[q, k]
+    Ad = np.asarray(sol.coarse_dense_matrix(sol.A_stencil))
+    np.testing.assert_allclose(Ad, A_full, rtol=1e-12, atol=1e-13)
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal((P, C))
+    mv_dense = sol._coarse_matvec_fn(sol.A_stencil)(jnp.asarray(u))
+    mv_sten = sol.coarse_matvec(jnp.asarray(u))
+    np.testing.assert_allclose(np.asarray(mv_dense), np.asarray(mv_sten),
+                               rtol=1e-10, atol=1e-12)
