@@ -240,12 +240,18 @@ class SLODConfig:
                                       # VMEM budget, e.g. 3D elasticity),
                                       # "auto" = fused/fused_split on TPU
                                       # float32 by VMEM fit
-    fused_block: int = 2              # patches per fused-kernel instance
-                                      # (VMEM: ~fused_block * (n^2 + 2 n k)
-                                      # * 4 B for the "ldl" algo; bs > 1
-                                      # amortizes the factor's scalar-chain
-                                      # latency across the instance batch,
-                                      # measured 1.2x at bs=2, n=729)
+    fused_block: int = 4              # patches per fused-kernel instance
+                                      # (bs >= 4 uses the full-DMA variant:
+                                      # single-buffered A+X scratch, VMEM
+                                      # ~fused_block * (n^2 + n k) * 4 B;
+                                      # bs > 1 amortizes the factor's
+                                      # scalar-chain latency across the
+                                      # instance batch)
+    fused_nb: int = 64                # fused-kernel panel size (the batched
+                                      # Gauss-Jordan diagonal-inverse sweep
+                                      # moves nb^2-sized passes per chain
+                                      # step; 64 measured ~5% faster than
+                                      # 128 at bs=4, n=729)
     fused_algo: str = "ldl"           # fused-kernel formulation: "ldl"
                                       # (block-LDL^T, batched Gauss-Jordan
                                       # diagonal inverses — scalar chain

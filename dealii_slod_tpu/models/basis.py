@@ -441,7 +441,14 @@ class BasisKernels:
                         # VMEM-resident Pallas one-sided Jacobi (ops/eig.py)
                         # in factor form: Jacobi on the jittered Cholesky
                         # factor sees the SQUARE ROOT of the Gram's dynamic
-                        # range (Demmel-Veselic), ~10x better f32 accuracy
+                        # range (Demmel-Veselic), ~10x better f32 accuracy.
+                        # NOTE (ADVICE r2): the factor's relative jitter
+                        # (~100x dtype eps) floors every eigenvalue above
+                        # thr*lam[0], so the svd_threshold truncation branch
+                        # below never fires on this path — the pseudo-
+                        # inverse is effectively a Tikhonov solve; the
+                        # ||d||<0.5 conditioning loop still limits noise
+                        # amplification exactly as in the reference.
                         lam, V = _jacobi_factor(
                             G, sweeps=cfg.eig_sweeps, tol=cfg.eig_tol)
                     else:
@@ -610,7 +617,10 @@ class BasisKernels:
         n = -(-sc.n_interior * self.C // 128) * 128
         k = -(-sc.n_coarse_dofs_local // 128) * 128
         bs = max(1, self.cfg.fused_block)
-        vmem = 4 * (bs * n * n + 4 * bs * n * k)
+        # bs >= 4 runs the full-DMA variant (single-buffered A+X scratch);
+        # bs < 4 pipelines the RHS block specs (double-buffered)
+        rhs_bufs = 2 if bs >= 4 else 4
+        vmem = 4 * (bs * n * n + rhs_bufs * bs * n * k)
         if vmem <= 12 * 2 ** 20:
             return "fused"
         # split feasibility: each ~n/2 half + its wide RHS must fit
@@ -663,7 +673,9 @@ class BasisKernels:
             if solver_mode == "fused_split":
                 Ainv_PT, T_raw = fused_spd_multirhs_split(A_solve, PT_m)
             else:
-                Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m, bs=bs,
+                Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m,
+                                                    nb=self.cfg.fused_nb,
+                                                    bs=bs,
                                                     algo=algo)
             eye = jnp.eye(cvd.shape[-1], dtype=self.dtype)
             T = T_raw / Hdim + eye * (1.0 - cvd)[:, None, :]

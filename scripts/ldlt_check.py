@@ -44,7 +44,29 @@ def run(algo, bs):
     return Xn, best
 
 
-X1, t1 = run("ldl", 2)
-X2, t2 = run("ldlt", 2)
-print("X agree:", np.linalg.norm(X1 - X2) / np.linalg.norm(X1))
-print(f"speedup: {t1 / t2:.2f}x")
+def run_nb(algo, bs, nb):
+    f = jax.jit(lambda a, b: fused_spd_multirhs(a, b, bs=bs, nb=nb,
+                                                algo=algo))
+    g = jax.jit(lambda a, b: sum(jnp.sum(v) for v in f(a, b)))
+    t0 = time.perf_counter()
+    float(g(Aj, Bj))
+    comp = time.perf_counter() - t0
+    best = 1e30
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(g(Aj, Bj))
+        best = min(best, time.perf_counter() - t0)
+    X = np.asarray(f(Aj, Bj)[0])
+    r = np.linalg.norm(np.einsum("bij,bjk->bik", A, X) - B) / np.linalg.norm(B)
+    print(f"{algo:8s} bs={bs} nb={nb:3d}  compile {comp:6.1f}s  "
+          f"best {best*1000:8.2f} ms  resid {r:.3e}", flush=True)
+
+
+import itertools
+combos = sys.argv[2:] or ["ldl:2:128", "ldlt:2:128", "ldlt:2:64", "ldlt:4:64"]
+for c in combos:
+    algo, bs, nb = c.split(":")
+    try:
+        run_nb(algo, int(bs), int(nb))
+    except Exception as e:
+        print(f"{c} FAILED: {str(e)[:200]}", flush=True)

@@ -119,4 +119,19 @@ with jax.default_matmul_precision(cfg.matmul_precision):
       lambda g, h: smallk_truncated_dvec(g.reshape(Bc2 * C, cD, cD),
                                          h.reshape(Bc2 * C, cD), k=32,
                                          power_steps=3), G, g0)
+
+    # ---- whole chunk (one dispatch, as the pipeline runs it) ----
+    cfn = solver._uniform_chunk_fn()
+    t("CHUNK total (cfn)", lambda c, lo, hi, sd: cfn([c], lo, hi, sd),
+      cl, nlo_j, nhi_j, sides_j)
+
+    # ---- full step (compile cached from bench) ----
+    solver.assemble_fine_rhs()
+    step = jax.jit(solver.build_step())
+
+    def full(coef, rhs):
+        u, A_st = step(coef, rhs)
+        return u
+
+    t("STEP total", full, solver.coef_q, solver.fem_rhs)
 print("done")
