@@ -87,9 +87,11 @@ with jax.default_matmul_precision(cfg.matmul_precision):
 
     # ---- solve + Tinv ----
     t("fused_spd_multirhs", lambda a, b: fused_spd_multirhs(
-        a, b, bs=cfg.fused_block, algo=cfg.fused_algo), A_solve, PT_m)
+        a, b, bs=cfg.fused_block, nb=cfg.fused_nb, algo=cfg.fused_algo),
+      A_solve, PT_m)
     Ainv_PT, T_raw = jax.jit(lambda a, b: fused_spd_multirhs(
-        a, b, bs=cfg.fused_block, algo=cfg.fused_algo))(A_solve, PT_m)
+        a, b, bs=cfg.fused_block, nb=cfg.fused_nb,
+        algo=cfg.fused_algo))(A_solve, PT_m)
     eye = jnp.eye(cvd.shape[-1], dtype=solver.dtype)
     T = T_raw / Hdim + eye * (1.0 - cvd)[:, None, :]
     t("Tinv (gj_inverse_pallas)", gj_inverse_pallas, T)

@@ -158,3 +158,21 @@ def test_smallk_zero_gram_degenerates_to_zero():
     ref = -np.linalg.solve(G_ok + 1e-13 * np.abs(np.diag(G_ok)).max()
                            * np.eye(n), g0[0])
     np.testing.assert_allclose(d[0], ref, rtol=1e-6, atol=1e-12)
+
+
+def test_mgs_qr_matches_householder_span():
+    """mgs_qr_pallas (interpret falls back to QR on CPU; on TPU the Pallas
+    MGS2 kernel): orthonormal columns spanning the same subspace."""
+    from dealii_slod_tpu.ops.eig import mgs_qr_pallas
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((7, 125, 32)).astype(np.float32)
+    # poorly scaled columns (the subspace-iteration regime)
+    X *= np.logspace(0, -5, 32)[None, None, :]
+    Q = np.asarray(mgs_qr_pallas(jnp.asarray(X)))
+    QtQ = np.einsum("bni,bnj->bij", Q, Q)
+    np.testing.assert_allclose(QtQ, np.broadcast_to(np.eye(32), QtQ.shape),
+                               atol=5e-5)
+    # span: projecting X onto Q reproduces X
+    P = np.einsum("bni,bmi->bnm", Q, Q)
+    X2 = np.einsum("bnm,bmk->bnk", P, X)
+    np.testing.assert_allclose(X2, X, rtol=1e-3, atol=1e-5)
