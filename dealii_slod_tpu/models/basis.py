@@ -713,19 +713,50 @@ class BasisKernels:
         north-star config), the window op streams.  Out-of-domain subcells
         come back zero (padding), exactly matching the in-window coefficient
         mask the uniform kernel applies anyway."""
-        cfg, g = self.cfg, self.grid
-        dim = cfg.dim
-        s = cfg.n_subdivisions
-        ell = cfg.oversampling
-        win = (2 * ell + 1) * s
-        grid = _rev(g.fine_cell_dims)
-        nq = coef.shape[-1]
-        cg = jnp.moveaxis(coef.reshape(grid + (nq,)), -1, 0)[None]
-        pat = jax.lax.conv_general_dilated_patches(
-            cg, filter_shape=(win,) * dim, window_strides=(s,) * dim,
-            padding=[(ell * s, ell * s)] * dim)
-        pat = pat.reshape(nq, win ** dim, -1)          # (nq, n_sub, P)
-        return jnp.transpose(pat, (2, 1, 0))
+        cfg = self.cfg
+        win = (2 * cfg.oversampling + 1) * cfg.n_subdivisions
+        grid = _rev(self.grid.fine_cell_dims)
+        return self._window_stack(coef.reshape(grid + (coef.shape[-1],)),
+                                  win)
+
+    def _window_stack(self, X: jnp.ndarray, win: int) -> jnp.ndarray:
+        """Per-patch lattice windows by per-axis strided slice-stacks.
+
+        ``X`` (grid_1, ..., grid_dim, tail) on the full fine lattice (cells
+        or nodes) -> (P, win^dim, tail): for each patch the size-``win``
+        window anchored at ``(center - ell) * s`` per axis, zero outside
+        the domain.  The conv_general_dilated_patches form was ~160 ms at
+        the 3D bench config (its (tail, n_win, P) output needs a full
+        131 MB lane-hostile transpose); the stacks build the target layout
+        directly: after processing the grid axes the array is
+        (P_z, P_y, P_x, tail, o_z, o_y, o_x) and one moveaxis + reshape
+        lands (P, n_win, tail) with the x-fastest window ravel."""
+        cfg = self.cfg
+        dim, s, N = cfg.dim, cfg.n_subdivisions, cfg.n_coarse
+        pad = cfg.oversampling * s
+        tail = X.shape[-1]
+        X = jnp.pad(X, [(pad, pad)] * dim + [(0, 0)])
+        for a in range(dim):
+            parts = [
+                jax.lax.slice_in_dim(X, o, o + s * (N - 1) + 1, stride=s,
+                                     axis=a)
+                for o in range(win)
+            ]
+            X = jnp.stack(parts, axis=-1)
+        X = jnp.moveaxis(X, dim, -1)       # tail behind the offset axes
+        return X.reshape(N ** dim, win ** dim, tail)
+
+    def _rhs_windows(self, fem_rhs: jnp.ndarray) -> jnp.ndarray:
+        """Canvas-node windows of the fine rhs: (n_nodes, C) ->
+        (P, canvas_n, C), the slice-stack replacement for the
+        ``fem_rhs[canvas_gidx]`` gather (the gather was ~40 ms at the 3D
+        bench config).  Out-of-domain canvas nodes come back ZERO where the
+        gather returns the clamped edge value — every consumer multiplies
+        by a basis canvas that is zero there, so results are identical."""
+        cfg = self.cfg
+        win = (2 * cfg.oversampling + 1) * cfg.n_subdivisions + 1
+        grid = _rev(self.grid.node_dims)
+        return self._window_stack(fem_rhs.reshape(grid + (self.C,)), win)
 
     def _use_coef_windows(self) -> bool:
         """Window extraction applies whenever the per-patch coefficient rows

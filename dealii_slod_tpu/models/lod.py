@@ -270,7 +270,9 @@ class LODSolver(BasisKernels, StencilOps):
         """Coarse LOD solve (reference LOD.cc:976-1002): rhs = C^T f, then
         CG (Jacobi in place of SSOR) on the stencil operator."""
         C = self.C
-        f_at_canvas = self.fem_rhs[self.canvas_gidx]          # (P, canvas, C)
+        f_at_canvas = (self._rhs_windows(self.fem_rhs)
+                       if self.cfg.kernel_mode == "uniform"
+                       else self.fem_rhs[self.canvas_gidx])   # (P, canvas, C)
         rhs_c = jnp.einsum("pncd,pnc->pd", self.Phi, f_at_canvas)
         self.coarse_rhs = rhs_c
         self.log(f"     rhs l2 norm = {float(jnp.linalg.norm(rhs_c)):.6g}")
@@ -408,7 +410,9 @@ class LODSolver(BasisKernels, StencilOps):
                 Phi = Phi.at[pids].set(phi_c)
                 APhi = APhi.at[pids].set(aphi_c)
             A_st = constrain(self._stencil_build(Phi, APhi))
-            f_at = fem_rhs[self.canvas_gidx]                  # (P, canvas, C)
+            f_at = (self._rhs_windows(fem_rhs)
+                    if self.cfg.kernel_mode == "uniform"
+                    else fem_rhs[self.canvas_gidx])           # (P, canvas, C)
             rhs_c = constrain(jnp.einsum("pncd,pnc->pd", Phi, f_at))
             diag = jnp.einsum("pdd->pd", A_st[:, self.center_offset_idx])
             rc = self.cfg.coarse_solver
