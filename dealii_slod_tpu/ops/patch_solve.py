@@ -268,6 +268,63 @@ def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref,
                                          b_ref[i, j1:n, :]))
 
 
+def _fused_kernel_ldl_pipe(pl, pltpu, nb, n_blocks, bs, a_hbm, b_hbm, x_hbm,
+                           t_ref, a_scr, x_scr, sem_a, sem_b, sem_x):
+    """Half-staggered LDL^T: the instance batch is split in two halves whose
+    panel loops are offset so every batched Gauss-Jordan diagonal inverse
+    (VPU-bound dependency chain) sits adjacent to the OTHER half's panel
+    dots (MXU-bound) in program order — the units are independent pipes, so
+    the scheduler can overlap them instead of serializing chain + dots.
+    Same algebra and memory plan as the full-DMA ldl variant."""
+    i = pl.program_id(0)
+    cpa = pltpu.make_async_copy(a_hbm.at[pl.ds(i * bs, bs)], a_scr, sem_a)
+    cpb = pltpu.make_async_copy(b_hbm.at[pl.ds(i * bs, bs)], x_scr, sem_b)
+    cpa.start()
+    cpb.start()
+    cpa.wait()
+    cpb.wait()
+    n = nb * n_blocks
+    h = bs // 2
+
+    def gj_half(lo, hi, j):
+        j0, j1 = j * nb, (j + 1) * nb
+        return _gj_invert_spd(a_scr[lo:hi, j0:j1, j0:j1], nb, hi - lo)
+
+    def dots_half(lo, hi, j, Dinv):
+        j0, j1 = j * nb, (j + 1) * nb
+        for ii in range(lo, hi):
+            zj = x_scr[ii, j0:j1, :]
+            wj = _mm(Dinv[ii - lo], zj)
+            c = _mTm(zj, wj)
+            t_ref[ii] = c if j == 0 else t_ref[ii] + c
+            if j + 1 < n_blocks:
+                Aij = a_scr[ii, j1:n, j0:j1]
+                W = _mm(Aij, Dinv[ii - lo])
+                a_scr[ii, j1:n, j0:j1] = W
+                a_scr[ii, j1:n, j1:n] = (a_scr[ii, j1:n, j1:n]
+                                         - _mmT(W, Aij))
+                x_scr[ii, j1:n, :] = x_scr[ii, j1:n, :] - _mm(W, zj)
+            x_scr[ii, j0:j1, :] = wj
+
+    DA = gj_half(0, h, 0)
+    for j in range(n_blocks):
+        DB = gj_half(h, bs, j)          # independent of half-A dots of j
+        dots_half(0, h, j, DA)
+        if j + 1 < n_blocks:
+            DA = gj_half(0, h, j + 1)   # half-A Schur of j just completed
+        dots_half(h, bs, j, DB)
+
+    for j in range(n_blocks - 2, -1, -1):
+        j0, j1 = j * nb, (j + 1) * nb
+        for ii in range(bs):
+            x_scr[ii, j0:j1, :] = (x_scr[ii, j0:j1, :]
+                                   - _mTm(a_scr[ii, j1:n, j0:j1],
+                                          x_scr[ii, j1:n, :]))
+    cpx = pltpu.make_async_copy(x_scr, x_hbm.at[pl.ds(i * bs, bs)], sem_x)
+    cpx.start()
+    cpx.wait()
+
+
 def _fused_kernel_ldlt_dma(pl, pltpu, nb, n_blocks, n, k, bs, ah_hbm,
                            xt_ref, scr, sem):
     """Stacked transposed-RHS LDL^T: the instance's working set is ONE
@@ -622,6 +679,30 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
                                 pltpu.SemaphoreType.DMA],
                 interpret=interpret,
             )(Ap, Bp)
+        return X[:P, :n0, :k0], T[:P, :k0, :k0]
+
+    if algo == "ldl_pipe":
+        out_shape = (
+            jax.ShapeDtypeStruct((Pp, n, k), dt),
+            jax.ShapeDtypeStruct((Pp, k, k), dt),
+        )
+        if interpret or bs < 2:
+            return fused_spd_multirhs(A, B, nb=nb, bs=bs,
+                                      interpret=interpret, algo="ldl")
+        X, T = pl.pallas_call(
+            partial(_fused_kernel_ldl_pipe, pl, pltpu, nb, n_blocks, bs),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=(pl.BlockSpec(memory_space=pltpu.ANY), t_spec),
+            out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((bs, n, n), dt),
+                            pltpu.VMEM((bs, n, k), dt),
+                            pltpu.SemaphoreType.DMA,
+                            pltpu.SemaphoreType.DMA,
+                            pltpu.SemaphoreType.DMA],
+            interpret=interpret,
+        )(Ap, Bp)
         return X[:P, :n0, :k0], T[:P, :k0, :k0]
 
     if algo == "ldlt":
