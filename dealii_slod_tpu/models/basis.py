@@ -331,12 +331,29 @@ class BasisKernels:
             k = X_int.shape[-1]
             Xz = scatter_interior(X_int).reshape(n_nodes, C, k)
             Xp = jnp.pad(Xz, ((shiftN, shiftN), (0, 0), (0, 0)))
-            acc = None
-            for oi in range(n_off):
-                s0 = shiftN + int(offs_flat_np[oi])
-                Xs = jax.lax.slice_in_dim(Xp, s0, s0 + n_nodes, axis=0)
-                t = jnp.einsum("ncd,ndk->nck", band[:, oi], Xs)
-                acc = t if acc is None else acc + t
+            if C == 1:
+                # elementwise multiply-add chain — XLA fuses the 27 terms
+                acc = None
+                for oi in range(n_off):
+                    s0 = shiftN + int(offs_flat_np[oi])
+                    Xs = jax.lax.slice_in_dim(Xp, s0, s0 + n_nodes, axis=0)
+                    t = band[:, oi, 0, 0][:, None] * Xs[:, 0]
+                    acc = t if acc is None else acc + t
+                return acc.reshape(n_nodes, k)
+            # C > 1: each offset term is a real (n, C, C) x (n, C, k)
+            # dot_general that XLA materializes — 27 unrolled terms at the
+            # 3D elasticity chunk are 27 x 1.4 GB of HLO temps (OOM).  A
+            # scan carries ONE accumulator instead.
+            starts = jnp.asarray(shiftN + offs_flat_np, jnp.int32)
+            bandO = jnp.moveaxis(band, 0, 1)            # (O, nN, C, C)
+
+            def step(acc, xs):
+                b_o, s0 = xs
+                Xs = jax.lax.dynamic_slice_in_dim(Xp, s0, n_nodes, axis=0)
+                return acc + jnp.einsum("ncd,ndk->nck", b_o, Xs), None
+
+            acc0 = jnp.zeros((n_nodes, C, k), X_int.dtype)
+            acc, _ = jax.lax.scan(step, acc0, (bandO, starts))
             return acc.reshape(n_nodes * C, k)
 
         if use_banded:

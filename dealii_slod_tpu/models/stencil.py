@@ -247,9 +247,15 @@ class StencilOps:
         # cell-pair rows onto the patch axis: G2[q, k1] = T[e(q, k1), k1]
         G2 = T[jnp.asarray(tab["e_idx"]), jnp.arange(K)[None, :]]
         G2 = G2 * tab["evalid"][:, :, None, None, None]
-        # slot correlation as one dense indicator matmul
+        # slot correlation as one dense indicator matmul.  Precision HIGH
+        # (3 bf16 passes) suffices here: with 0/1 indicator entries the
+        # split product (a_hi + a_lo) * b reconstructs a*b to ~2^-18
+        # relative (far below the pipeline's f32 method error), while the
+        # inherited HIGHEST (6 passes) would double the cost of the
+        # largest matmul of the build (~160 GFLOP at the 3D bench config)
         M3 = jnp.asarray(self._slot_match_matrix(), self.dtype)
-        A_st = jnp.einsum("pxc,xj->pjc", G2.reshape(P, K * K2, CC), M3)
+        A_st = jnp.einsum("pxc,xj->pjc", G2.reshape(P, K * K2, CC), M3,
+                          precision=jax.lax.Precision.HIGH)
         return A_st.reshape(P, self.n_stencil, C, C)
 
     def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:

@@ -612,6 +612,12 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     k0 = B.shape[-1]
     dt = A.dtype
     n = -(-n0 // nb) * nb
+    if n % 128:
+        # Mosaic rejects lane-dim slices when the padded matrix size is not
+        # a multiple of the 128 tiling (e.g. nb=64, n0=162 -> n=192); fall
+        # back to 128 panels, which always pad to an aligned size
+        nb = 128
+        n = -(-n0 // nb) * nb
     # lane-dim efficiency: k padded to 128
     k = -(-k0 // 128) * 128
     Pp = -(-P // bs) * bs
