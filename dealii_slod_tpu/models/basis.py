@@ -343,18 +343,32 @@ class BasisKernels:
             # C > 1: each offset term is a real (n, C, C) x (n, C, k)
             # dot_general that XLA materializes — 27 unrolled terms at the
             # 3D elasticity chunk are 27 x 1.4 GB of HLO temps (OOM).  A
-            # scan carries ONE accumulator instead.
+            # scan carries ONE accumulator instead, and every array is
+            # kept 2D with the large axis last: any trailing (C, C) or
+            # (nN, C) pair tile-pads up to (8, 128)/(3, 3) ~ 57x (an
+            # 18.8 GB scan-input allocation, whatever axis order we pick —
+            # XLA re-lays the scan xs as it pleases).
             starts = jnp.asarray(shiftN + offs_flat_np, jnp.int32)
-            bandO = jnp.moveaxis(band, 0, 1)            # (O, nN, C, C)
+            bandS = jnp.transpose(band, (1, 2, 3, 0)
+                                  ).reshape(n_off, C * C, n_nodes)
+            Xp_d = tuple(Xp[:, d, :] for d in range(C))    # (nNp, k) each
 
             def step(acc, xs):
-                b_o, s0 = xs
-                Xs = jax.lax.dynamic_slice_in_dim(Xp, s0, n_nodes, axis=0)
-                return acc + jnp.einsum("ncd,ndk->nck", b_o, Xs), None
+                b_o, s0 = xs                               # (C*C, nN), ()
+                sl = [jax.lax.dynamic_slice_in_dim(x, s0, n_nodes, axis=0)
+                      for x in Xp_d]
+                out = []
+                for c in range(C):
+                    t = acc[c]
+                    for d in range(C):
+                        t = t + b_o[c * C + d][:, None] * sl[d]
+                    out.append(t)
+                return tuple(out), None
 
-            acc0 = jnp.zeros((n_nodes, C, k), X_int.dtype)
-            acc, _ = jax.lax.scan(step, acc0, (bandO, starts))
-            return acc.reshape(n_nodes * C, k)
+            acc0 = tuple(jnp.zeros((n_nodes, k), X_int.dtype)
+                         for _ in range(C))
+            acc, _ = jax.lax.scan(step, acc0, (bandS, starts))
+            return jnp.stack(acc, axis=1).reshape(n_nodes * C, k)
 
         if use_banded:
             apply_AI = stencil_apply
@@ -624,7 +638,8 @@ class BasisKernels:
         "lax" (XLA Cholesky+TRSM; the CPU/f64 path)."""
         mode = self.cfg.patch_solver
         if mode != "auto":
-            return mode if mode in ("fused", "fused_split") else "lax"
+            return (mode if mode in ("fused", "fused_split", "panel")
+                    else "lax")
         if not (self.dtype == jnp.float32
                 and jax.default_backend() == "tpu"):
             return "lax"
@@ -664,7 +679,8 @@ class BasisKernels:
         if solver_mode == "lax":
             return jax.vmap(one_patch, in_axes=([0] * nc, 0, 0, 0))
         from dealii_slod_tpu.ops.patch_solve import (fused_spd_multirhs,
-                                                     fused_spd_multirhs_split)
+                                                     fused_spd_multirhs_split,
+                                                     panel_spd_multirhs)
         Hdim = self.grid.H ** self.cfg.dim
         bs = self.cfg.fused_block
 
@@ -687,7 +703,9 @@ class BasisKernels:
 
         def cfn(coef_list, nlo, nhi, sides):
             A_rows_I, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
-            if solver_mode == "fused_split":
+            if solver_mode == "panel":
+                Ainv_PT, T_raw = panel_spd_multirhs(A_solve, PT_m)
+            elif solver_mode == "fused_split":
                 Ainv_PT, T_raw = fused_spd_multirhs_split(A_solve, PT_m)
             else:
                 Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m,
