@@ -239,7 +239,11 @@ class SLODConfig:
                                       # Schur split for matrices past the
                                       # VMEM budget, e.g. 3D elasticity),
                                       # "auto" = fused/fused_split on TPU
-                                      # float32 by VMEM fit
+                                      # float32 by VMEM fit,
+                                      # "panel" (XLA-level panel-blocked
+                                      # LDL^T: batched-matmul trailing
+                                      # updates, Pallas GJ diagonal-block
+                                      # inverses; no VMEM ceiling)
     fused_block: int = 4              # patches per fused-kernel instance
                                       # (bs >= 4 uses the full-DMA variant:
                                       # single-buffered A+X scratch, VMEM

@@ -121,3 +121,20 @@ def test_fused_split_schur_exact():
                                atol=1e-10)
     Tr = np.einsum("bik,bij->bkj", np.asarray(B), np.asarray(Xr))
     np.testing.assert_allclose(np.asarray(T), Tr, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("n,k,nb", [(200, 37, 64), (129, 129, 128),
+                                    (384, 80, 128)])
+def test_panel_matches_dense_solve(n, k, nb):
+    from dealii_slod_tpu.ops.patch_solve import panel_spd_multirhs
+
+    rng = np.random.default_rng(1)
+    P = 3
+    M = rng.standard_normal((P, n, max(n // 3, 4)))
+    A = np.einsum("bik,bjk->bij", M, M) + n * np.eye(n)
+    B = rng.standard_normal((P, n, k))
+    X, T = panel_spd_multirhs(jnp.asarray(A), jnp.asarray(B), nb=nb)
+    X_ref = np.stack([np.linalg.solve(A[i], B[i]) for i in range(P)])
+    T_ref = np.einsum("bik,bij->bkj", B, X_ref)
+    assert np.abs(np.asarray(X) - X_ref).max() < 1e-8 * np.abs(X_ref).max()
+    assert np.abs(np.asarray(T) - T_ref).max() < 1e-8 * np.abs(T_ref).max()
