@@ -42,11 +42,49 @@ def fe_values_at_quadrature(et: ElementTensors, conn: np.ndarray,
     return vals, grads
 
 
+def _device_norms(et: ElementTensors, conn: np.ndarray, u, other):
+    """Per-cell quadrature sums of the three norms on the accelerator
+    (nodal-vs-nodal case).
+
+    The full fine-grid quadrature tensors (n_sub, nq, C, dim) at 3D
+    refine>=5 are multi-GB host allocations in the NumPy path; here the
+    difference field, the gather and the einsums run jitted on-device and
+    only the (n_sub,) per-cell partial sums come back, to be accumulated
+    in float64 on the host (device dtype may be float32)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def cell_sums(u, other):
+        de = (u - other)[jnp.asarray(conn)]            # (n_sub, m, C)
+        ev = jnp.einsum("qi,sic->sqc", jnp.asarray(et.V), de)
+        eg = jnp.einsum("qik,sic->sqck", jnp.asarray(et.G), de)
+        w = jnp.asarray(et.w)
+        return (jnp.einsum("q,sqc->s", w, ev ** 2),
+                jnp.einsum("q,sqck->s", w, eg ** 2),
+                jnp.max(jnp.abs(ev)))
+    l2c, h1c, linf = cell_sums(u, other)
+    l2 = float(np.sqrt(np.asarray(l2c, np.float64).sum()))
+    h1s = float(np.sqrt(np.asarray(h1c, np.float64).sum()))
+    return l2, h1s, float(linf)
+
+
 def error_norms(grid, et: ElementTensors, conn: np.ndarray, u: np.ndarray,
                 exact: Optional[ParsedFunction] = None,
                 other: Optional[np.ndarray] = None,
                 qpts: Optional[np.ndarray] = None) -> Dict[str, float]:
     """L2 / H1-semi / Linfty norms of (u - exact) or (u - other)."""
+    if other is not None:
+        import jax
+
+        if (isinstance(u, jax.Array)
+                and jax.default_backend() != "cpu"):
+            # nodal-vs-nodal on an accelerator: keep the quadrature
+            # tensors on device (multi-GB on the host at 3D refine>=5)
+            l2, h1s, linf = _device_norms(et, conn, u, jax.numpy.asarray(
+                other, u.dtype))
+            h1 = float(np.sqrt(l2 * l2 + h1s * h1s))
+            return {"L2": l2, "H1": h1, "H1_semi": h1s, "Linfty": linf}
     vals, grads = fe_values_at_quadrature(et, conn, u)
     if other is not None:
         ovals, ograds = fe_values_at_quadrature(et, conn, other)
