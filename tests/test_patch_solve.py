@@ -138,3 +138,22 @@ def test_panel_matches_dense_solve(n, k, nb):
     T_ref = np.einsum("bik,bij->bkj", B, X_ref)
     assert np.abs(np.asarray(X) - X_ref).max() < 1e-8 * np.abs(X_ref).max()
     assert np.abs(np.asarray(T) - T_ref).max() < 1e-8 * np.abs(T_ref).max()
+
+
+def test_split_recursion_matches_dense_solve(monkeypatch):
+    """Force the recursive Schur split (small fake VMEM budget) and check
+    the exact-algebra claim against a dense solve."""
+    import dealii_slod_tpu.ops.patch_solve as ps
+
+    # budget so small that n=384 must split (but >= one 128 panel + rhs)
+    monkeypatch.setattr(ps, "_SOLVE_VMEM_BUDGET", 4 * (128 * 128 + 128 * 512))
+    rng = np.random.default_rng(2)
+    P, n, k = 2, 384, 37
+    M = rng.standard_normal((P, n, n // 3))
+    A = np.einsum("bik,bjk->bij", M, M) + n * np.eye(n)
+    B = rng.standard_normal((P, n, k))
+    X, T = ps.fused_spd_multirhs_split(jnp.asarray(A), jnp.asarray(B))
+    X_ref = np.stack([np.linalg.solve(A[i], B[i]) for i in range(P)])
+    T_ref = np.einsum("bik,bij->bkj", B, X_ref)
+    assert np.abs(np.asarray(X) - X_ref).max() < 1e-8 * np.abs(X_ref).max()
+    assert np.abs(np.asarray(T) - T_ref).max() < 1e-8 * np.abs(T_ref).max()
