@@ -110,6 +110,7 @@ def main():
         coarse_solver=ReductionControl(500, 1e-6, 1e-6),
         eig_sweeps=int(os.environ.get("BENCH_EIG_SWEEPS", 12)),
         eig_tol=float(os.environ.get("BENCH_EIG_TOL", 3e-6)),
+        patch_solver=os.environ.get("BENCH_SOLVER", "auto"),
         coef_windows=os.environ.get("BENCH_COEF_WINDOWS", "1") == "1",
     )
     if problem == "elasticity":
