@@ -362,8 +362,11 @@ class SLODConfig:
                 seteq(m.group(1).strip(), m.group(2).strip())
 
         def get(key, default=None):
+            # Segment-anchored lookup: the key must be the whole path or a
+            # suffix starting at a subsection boundary, so e.g. a user
+            # subsection named "My Output name" cannot alias "Output name".
             for k, v in cfg.items():
-                if k.endswith(key):
+                if k == key or k.endswith("/" + key):
                     return v
             return default
 

@@ -117,3 +117,22 @@ end
     assert cfg.coarse_solver.reduce == 1e-6
     assert cfg.fine_solver.max_steps == 1000  # untouched default
     assert cfg.error_norms == ("L2", "H1")
+
+
+def test_prm_lookup_is_segment_anchored(tmp_path):
+    """A user parameter whose name merely ENDS with a known key must not
+    alias it (VERDICT r2: endswith-matching could collide across sections);
+    the suffix match anchors at subsection boundaries only."""
+    from dealii_slod_tpu.config import SLODConfig
+    p = tmp_path / "alias.prm"
+    p.write_text("""
+subsection My app
+  set Custom Output name = bogus
+  set SuperOversampling  = 9
+end
+set Output name   = real
+set Oversampling  = 2
+""")
+    cfg = SLODConfig.from_prm(str(p))
+    assert cfg.output_name == "real"
+    assert cfg.oversampling == 2
