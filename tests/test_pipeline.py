@@ -322,3 +322,37 @@ def test_coarse_dense_matrix_matches_stencil(n_components, refine):
     mv_sten = sol.coarse_matvec(jnp.asarray(u))
     np.testing.assert_allclose(np.asarray(mv_dense), np.asarray(mv_sten),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_elasticity_convergence_rates():
+    """Elasticity is a first-class peer of diffusion in the reference
+    (Elasticity.h:92-438); mirror the manufactured-solution rate ladder for
+    it.  With lam = mu = 1 and u = (w, w), w = sin(pi x) sin(pi y),
+    -div(2 mu eps(u) + lam div(u) I) gives f_i = 4 pi^2 w
+    - 2 pi^2 cos(pi x) cos(pi y).  The FEM error must decay ~4x per
+    refinement (second order) and the stabilized LOD must track the fine
+    FEM solution at a faster-than-FEM rate (l ~ log2 N)."""
+    w = "sin(pi*x)*sin(pi*y)"
+    f = "4*pi^2*sin(pi*x)*sin(pi*y) - 2*pi^2*cos(pi*x)*cos(pi*y)"
+    fem_errs, lod_fem_errs = [], []
+    for (r, ell) in ((2, 1), (3, 2), (4, 3)):
+        cfg = SLODConfig(dim=2, n_components=2, n_global_refinements=r,
+                         n_subdivisions=2, oversampling=ell,
+                         lod_stabilization=True, constant_coefficients=True,
+                         rhs=f + "; " + f, bc="0",
+                         exact_solution=w + "; " + w,
+                         error_norms=("L2", "H1", "H1_semi", "Linfty"),
+                         fine_solver=ReductionControl(8000, 1e-12, 1e-10),
+                         coarse_solver=ReductionControl(8000, 1e-12, 1e-10),
+                         solve_fine_problem=True)
+        sol = LODSolver(cfg, ElasticityProblem(cfg), verbose=False)
+        res = sol.run()
+        fem_errs.append(res["error_FEMh_exact"].rows[-1][2]["L2"])
+        lod_fem_errs.append(res["error_LOD_FEMh"].rows[-1][2]["L2"])
+    # second-order FEM: ~4x per halving (allow slack for the asymptotic
+    # constant at the coarsest level)
+    assert fem_errs[1] < fem_errs[0] / 3 and fem_errs[2] < fem_errs[1] / 3, \
+        fem_errs
+    # LOD-vs-FEMh decays faster than the FEM error itself (measured ~20x)
+    assert lod_fem_errs[1] < lod_fem_errs[0] / 4
+    assert lod_fem_errs[2] < lod_fem_errs[1] / 4, lod_fem_errs
