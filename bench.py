@@ -42,10 +42,16 @@ def chip_peak_tflops(device) -> float:
 
 
 def flops_model(dim, ell, s, C, P, n_stencil, slod=True, eig_sweeps=8,
-                cg_iters=40):
+                cg_iters=40, spec_mode="jacobi", smallk=32, smallk_power=3):
     """Analytic FLOPs of the end-to-end step (per the pipeline stages in
     models/lod.py one_patch + stencil build + coarse CG).  Counts multiply-
-    adds as 2 FLOPs; Cholesky n^3/3, TRSM n^2 k per triangle."""
+    adds as 2 FLOPs; Cholesky n^3/3, TRSM n^2 k per triangle.
+
+    ``spec_mode`` selects the spectral-stage cost: "jacobi" charges the
+    full one-sided Jacobi sweep cascade; "smallk" charges the production
+    path (ops/eig.smallk_truncated_dvec: batched Gauss-Jordan inverse +
+    inverse subspace iteration on the smallest ``smallk`` directions) —
+    ~10x fewer FLOPs, so the reported MFU stays honest."""
     kappa = 2 * ell + 1
     nI = (kappa * s - 1) ** dim * C          # interior dofs per patch
     nD = (kappa * s + 1) ** dim * C          # canvas dofs per patch
@@ -64,9 +70,19 @@ def flops_model(dim, ell, s, C, P, n_stencil, slod=True, eig_sweeps=8,
         per_patch.update({
             "slod_trace_products": 2 * nD * nI * cD + 2 * nD * cD * cD,
             "slod_gram": C * 2 * nD * cD * cD,
-            "slod_eig": C * 7 * eig_sweeps * cD ** 3,
             "slod_candidates": C * (2 * cD * cD + 2 * nI * cD),
         })
+        if spec_mode == "smallk":
+            kk = min(smallk, cD)
+            per_patch["slod_spectral"] = C * (
+                2 * cD ** 3                        # Gauss-Jordan inverse
+                + (smallk_power + 1) * 2 * cD * cD * kk   # subspace matmuls
+                + smallk_power * 2 * cD * kk * kk  # MGS2 orthonormalization
+                + 2 * cD * kk * kk                 # W = Z^T G Z reduction
+                + 7 * 8 * kk ** 3                  # (k, k) Jacobi eig
+                + 4 * cD * kk)                     # projections + scan
+        else:
+            per_patch["slod_spectral"] = C * 7 * eig_sweeps * cD ** 3
     K, K2, O = kappa ** dim, (kappa + 1) ** dim, (s + 1) ** dim
     global_flops = {
         "stencil_cell_pairs": 2 * P * K * K2 * O * C * C,
@@ -162,8 +178,16 @@ def main():
     rate = P / best
 
     cg_iters = 40
+    # resolve the spectral mode the pipeline will actually run (basis.py
+    # _uniform_core: "auto" = smallk on TPU float32, jacobi otherwise)
+    spec_mode = cfg.eig_solver
+    if spec_mode == "auto":
+        spec_mode = ("smallk" if jax.default_backend() == "tpu"
+                     else "lapack")
     stages = flops_model(dim, ell, sub, solver.C, P, solver.n_stencil,
-                         slod=True, eig_sweeps=8, cg_iters=cg_iters)
+                         slod=True, eig_sweeps=8, cg_iters=cg_iters,
+                         spec_mode=spec_mode, smallk=cfg.smallk_dirs,
+                         smallk_power=cfg.smallk_power)
     total_flops = sum(stages.values())
     tflops = total_flops / best / 1e12
     peak = chip_peak_tflops(jax.devices()[0])
