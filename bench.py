@@ -127,6 +127,9 @@ def main():
         eig_sweeps=int(os.environ.get("BENCH_EIG_SWEEPS", 12)),
         eig_tol=float(os.environ.get("BENCH_EIG_TOL", 3e-6)),
         patch_solver=os.environ.get("BENCH_SOLVER", "auto"),
+        fused_algo=os.environ.get("BENCH_ALGO", "ldl"),
+        fused_nb=int(os.environ.get("BENCH_NB", 64)),
+        fused_block=int(os.environ.get("BENCH_BS", 4)),
         coef_windows=os.environ.get("BENCH_COEF_WINDOWS", "1") == "1",
     )
     if problem == "elasticity":
