@@ -96,6 +96,12 @@ def flops_model(dim, ell, s, C, P, n_stencil, slod=True, eig_sweeps=8,
 
 
 def main():
+    # BENCH_PLATFORM=cpu forces the host backend *programmatically* — the
+    # axon site package overrides the JAX_PLATFORMS environment variable,
+    # so an env-only override silently still targets the tunneled TPU
+    plat = os.environ.get("BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     # persistent compilation cache: repeat driver runs skip the multi-minute
     # remote TPU compile
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
