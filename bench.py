@@ -69,7 +69,9 @@ def flops_model(dim, ell, s, C, P, n_stencil, slod=True, eig_sweeps=8,
     if slod:
         per_patch.update({
             "slod_trace_products": 2 * nD * nI * cD + 2 * nD * cD * cD,
-            "slod_gram": C * 2 * nD * cD * cD,
+            # ONE shared F = BD^T BD; per-component Grams are 0/1 diagonal
+            # maskings of F (models/basis.py finish_pre)
+            "slod_gram": 2 * nD * cD * cD + C * 3 * cD * cD,
             "slod_candidates": C * (2 * cD * cD + 2 * nI * cD),
         })
         if spec_mode == "smallk":

@@ -77,15 +77,14 @@ class BasisKernels:
             # (LOD.cc:612-618; the reference realizes the minus sign by
             # PT_boundary *= -1 plus additive mmult)
             BD = (S_edge @ Ainv_PT - PT_edge) @ Tinv           # (nE*C, cD)
-            cols = []
+            F = BD.T @ BD        # shared Gram: the 0/1 column masks commute
+            cols = []            # with the row contraction (see finish_pre)
             for d in range(C):
                 cen = central * C + d
                 onehot = (jnp.arange(cD) == cen).astype(dt)
                 colmask = 1.0 - onehot
-                b0 = BD @ onehot                               # column 'cen'
-                newBD = BD * colmask[None, :]
-                G = newBD.T @ newBD                            # (cD, cD)
-                g0 = newBD.T @ b0
+                G = F * colmask[:, None] * colmask[None, :]    # (cD, cD)
+                g0 = (F @ onehot) * colmask
                 # pseudo-inverse via SVD with relative truncation
                 # (compute_inverse_svd(1e-15), LOD.cc:667)
                 U, sig, Vt = jnp.linalg.svd(G)
@@ -456,15 +455,14 @@ class BasisKernels:
                 S_AiPT = apply_AI(A_rows_I, Ainv_PT) * is99d[:, None]
                 PT_b = PT * is99d[:, None] * cvd[None, :]
                 BD = (S_AiPT - PT_b) @ Tinv                  # (nD, cD)
-                cols = []
+                F = BD.T @ BD        # shared Gram (see finish_pre: the 0/1
+                cols = []            # masks commute with the contraction)
                 for d in range(C):
                     cen = self.canvas_center_cell * C + d
                     onehot = (jnp.arange(cD) == cen).astype(dt)
                     colmask = (1.0 - onehot) * cvd
-                    b0 = BD[:, cen]
-                    newBD = BD * colmask[None, :]
-                    G = newBD.T @ newBD
-                    g0 = newBD.T @ b0
+                    G = F * colmask[:, None] * colmask[None, :]
+                    g0 = F[:, cen] * colmask
                     # spectral pseudo-inverse — G is the PSD Gram matrix, so
                     # eigenpairs == singular triplets (descending reorder);
                     # same semantics as compute_inverse_svd (LOD.cc:667)
@@ -545,20 +543,27 @@ class BasisKernels:
             least squares (everything before the eigendecomposition).
             ``Tinv`` is computed by the caller (hoisted batched Gauss-Jordan
             on TPU — under vmap the batched Cholesky degrades to per-matrix
-            scalar chains)."""
+            scalar chains).
+
+            The per-component column masks are exactly 0/1, so every
+            component's Gram is a diagonal masking of ONE shared
+            F = BD^T BD:  G_d = diag(m_d) F diag(m_d),
+            g0_d = m_d * F[:, cen_d] — one nD-sized matmul total instead of
+            C Gram matmuls + C projections (3x fewer trace-stage FLOPs for
+            elasticity), bitwise-identical products per term."""
             _, is99 = edge_masks(nlo, nhi, sides_dom)
             is99d = jnp.repeat(is99, C).astype(dt)
             S_AiPT = apply_AI(A_rows_I, Ainv_PT) * is99d[:, None]
             PT_b = PT * is99d[:, None] * cvd[None, :]
             BD = (S_AiPT - PT_b) @ Tinv
+            F = BD.T @ BD                                  # (cD, cD)
             Gs, g0s = [], []
             for d in range(C):
                 cen = self.canvas_center_cell * C + d
                 onehot = (jnp.arange(cD) == cen).astype(dt)
                 colmask = (1.0 - onehot) * cvd
-                newBD = BD * colmask[None, :]
-                Gs.append(newBD.T @ newBD)
-                g0s.append(newBD.T @ BD[:, cen])
+                Gs.append(F * colmask[:, None] * colmask[None, :])
+                g0s.append(F[:, cen] * colmask)
             return jnp.stack(Gs), jnp.stack(g0s)
 
         def finish_post_dvec(A_rows_I, Ainv_PT, Tinv, dvec, cvd, nlo, nhi,
