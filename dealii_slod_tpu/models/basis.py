@@ -572,14 +572,13 @@ class BasisKernels:
             coefficients (the hoisted "smallk" spectral stage computes the
             whole truncation loop in the batch; reference LOD.cc:727-757)."""
             isdom, _ = edge_masks(nlo, nhi, sides_dom)
-            cols = []
-            for d in range(C):
-                cen = self.canvas_center_cell * C + d
-                onehot = (jnp.arange(cD) == cen).astype(dt)
-                colmask = (1.0 - onehot) * cvd
-                c = Tinv @ (onehot + dvec[d] * colmask)
-                cols.append(Ainv_PT @ c)
-            phi_int = jnp.stack(cols, axis=-1)
+            cens = jnp.asarray(self.canvas_center_cell * C + np.arange(C))
+            onehots = (jnp.arange(cD)[:, None] == cens[None, :]).astype(dt)
+            colmasks = (1.0 - onehots) * cvd[:, None]      # (cD, C)
+            # all C candidates in ONE matmul chain (matvec-per-component
+            # pads the same 128 lanes anyway)
+            Dm = onehots + jnp.swapaxes(dvec, 0, 1) * colmasks
+            phi_int = Ainv_PT @ (Tinv @ Dm)                # (nI, C)
             norms = jnp.sqrt((phi_int ** 2).sum(axis=0))
             phi_int = phi_int / norms
             phi = scatter_interior(phi_int)

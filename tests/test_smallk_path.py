@@ -1,0 +1,37 @@
+"""End-to-end coverage of the production TPU spectral path on CPU: the
+hoisted smallk stage (ops/eig.smallk_truncated_dvec) + the fused Pallas
+solver (interpret mode) + finish_post_dvec, against the default
+lapack-eigh/lax path.
+
+Coarse coefficient vectors are basis-gauge-dependent (the sigma-truncation
+takes discrete ||d||_inf < 0.5 decisions that can flip between numerically
+different but equally valid stabilizations), so the comparison is on the
+PROLONGED fine-grid field; at float64 both paths make the same decisions
+and agree to ~3e-6 here — the tolerance leaves headroom for a flip."""
+
+import jax
+import numpy as np
+
+from dealii_slod_tpu.config import SLODConfig
+from dealii_slod_tpu.models import DiffusionProblem, LODSolver
+
+
+def _prolonged(**kw):
+    cfg = SLODConfig(dim=2, n_global_refinements=3, n_subdivisions=2,
+                     oversampling=2, lod_stabilization=True,
+                     constant_coefficients=False, coef_seed=0,
+                     rhs="1", bc="0", dtype="float64",
+                     write_output=False, solve_fine_problem=False, **kw)
+    s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+    s.assemble_fine_rhs()
+    s.compute_basis()
+    s.assemble_coarse_operator()
+    s.solve_coarse()
+    return np.asarray(s.prolong_lod_solution())
+
+
+def test_smallk_fused_matches_lapack_field():
+    u_ref = _prolonged()                        # lapack eigh + lax solver
+    u_sk = _prolonged(eig_solver="smallk", patch_solver="fused")
+    rel = np.abs(u_sk - u_ref).max() / np.abs(u_ref).max()
+    assert rel < 1e-4, rel
