@@ -46,7 +46,13 @@ def t(name, f):
 with jax.default_matmul_precision("highest"):
     t("panel nb=128", lambda: panel_spd_multirhs(A, B, nb=128))
     t("panel nb=256", lambda: panel_spd_multirhs(A, B, nb=256))
+    t("panel nb=128 gj_bs=32", lambda: panel_spd_multirhs(A, B, nb=128,
+                                                          gj_bs=32))
+    t("panel nb=128 gj_bs=64", lambda: panel_spd_multirhs(A, B, nb=128,
+                                                          gj_bs=64))
     if n <= 1200:
         t("fused ldl bs=4 nb=64", lambda: fused_spd_multirhs(A, B, nb=64, bs=4))
+        t("fused pipe bs=4 nb=64", lambda: fused_spd_multirhs(
+            A, B, nb=64, bs=4, algo="ldl_pipe"))
     else:
         t("fused_split", lambda: fused_spd_multirhs_split(A, B))
