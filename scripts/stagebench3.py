@@ -21,7 +21,12 @@ cfg = SLODConfig(
     constant_coefficients=False, coef_seed=0, coef_refinement=5,
     rhs="1", bc="0", dtype="float32", patch_chunk=256,
     solve_fine_problem=False, coarse_solver=ReductionControl(500, 1e-6, 1e-6))
-solver = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+if os.environ.get("BENCH_PROBLEM") == "elasticity":
+    from dealii_slod_tpu.models import ElasticityProblem
+    cfg.rhs = "; ".join(["1"] * cfg.dim)
+    solver = LODSolver(cfg, ElasticityProblem(cfg), verbose=False)
+else:
+    solver = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
 P, C = solver.topo.n_patches, solver.C
 REPS = 3
 
