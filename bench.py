@@ -135,6 +135,8 @@ def main():
         eig_sweeps=int(os.environ.get("BENCH_EIG_SWEEPS", 12)),
         eig_tol=float(os.environ.get("BENCH_EIG_TOL", 3e-6)),
         patch_solver=os.environ.get("BENCH_SOLVER", "auto"),
+        smallk_dirs=int(os.environ.get("BENCH_SMALLK", 32)),
+        smallk_power=int(os.environ.get("BENCH_POWER", 3)),
         fused_algo=os.environ.get("BENCH_ALGO", "ldl"),
         fused_nb=int(os.environ.get("BENCH_NB", 64)),
         fused_block=int(os.environ.get("BENCH_BS", 4)),
