@@ -97,6 +97,32 @@ def flops_model(dim, ell, s, C, P, n_stencil, slod=True, eig_sweeps=8,
     return stages
 
 
+def _probe_backend(timeout_s: int = 240) -> None:
+    """Fail fast when the tunneled TPU is unreachable.
+
+    A dead axon tunnel hangs ``jax.devices()`` forever at the chip claim
+    (the relay port still accepts TCP), which would hang the whole bench
+    run; probe device init in a bounded subprocess first and exit with a
+    clear message instead.  Skipped when a platform override is active or
+    BENCH_SKIP_PROBE=1."""
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench: TPU backend init hung >{timeout_s}s (axon tunnel "
+            "down?); aborting instead of hanging. Set BENCH_PLATFORM=cpu "
+            "for a host-backend run or BENCH_SKIP_PROBE=1 to wait anyway.")
+    except subprocess.CalledProcessError as exc:
+        raise SystemExit(
+            "bench: TPU backend init failed:\n"
+            + exc.stderr.decode(errors="replace")[-2000:])
+
+
 def main():
     # BENCH_PLATFORM=cpu forces the host backend *programmatically* — the
     # axon site package overrides the JAX_PLATFORMS environment variable,
@@ -104,6 +130,8 @@ def main():
     plat = os.environ.get("BENCH_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    elif os.environ.get("BENCH_SKIP_PROBE") != "1":
+        _probe_backend()
     # persistent compilation cache: repeat driver runs skip the multi-minute
     # remote TPU compile
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
