@@ -729,9 +729,13 @@ class BasisKernels:
             G, g0 = vpre(A_rows_I, Ainv_PT, Tinv, cvd, nlo, nhi, sides)
             B = G.shape[0]
             if spec_mode == "smallk":
+                # small Grams: use ALL directions (exact truncation loop —
+                # at cD = 50 the k=32 cap measurably degraded the basis);
+                # the k-cap only pays off once the full eig is expensive
+                k_eff = cD if cD <= 64 else cfg.smallk_dirs
                 dvec = smallk_truncated_dvec(G.reshape(B * C, cD, cD),
                                              g0.reshape(B * C, cD),
-                                             k=cfg.smallk_dirs,
+                                             k=k_eff,
                                              power_steps=cfg.smallk_power)
                 return vpost_dvec(A_rows_I, Ainv_PT, Tinv,
                                   dvec.reshape(B, C, cD), cvd, nlo, nhi,

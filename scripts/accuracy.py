@@ -9,6 +9,7 @@ Usage:
     python scripts/accuracy.py [refine] [ell] f32      # only the f32 run
     python scripts/accuracy.py [refine] [ell] f64      # only the f64 run
     python scripts/accuracy.py [refine] [ell] report   # only the comparison
+    ACC_PROBLEM=elasticity python scripts/accuracy.py 2 2   # 3D elasticity
 """
 import os
 import subprocess
@@ -21,6 +22,7 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 refine = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 ell = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 what = sys.argv[3] if len(sys.argv) > 3 else "all"
+problem = os.environ.get("ACC_PROBLEM", "diffusion")
 
 CHILD = """
 import sys
@@ -43,7 +45,12 @@ cfg = SLODConfig(dim=3, n_global_refinements={refine}, n_subdivisions=2,
                      "ACC_PRECISION", "high"),
                  eig_sweeps=12, eig_tol=1e-9,
                  coarse_solver=ReductionControl(1000, 1e-12, 1e-10))
-s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+if {problem!r} == "elasticity":
+    from dealii_slod_tpu.models import ElasticityProblem
+    cfg.rhs = "; ".join(["1"] * cfg.dim)
+    s = LODSolver(cfg, ElasticityProblem(cfg), verbose=False)
+else:
+    s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
 s.compute_basis(); s.assemble_coarse_operator(); s.assemble_fine_rhs()
 s.solve_coarse()
 u = s.prolong_lod_solution()   # PHYSICAL (basis-gauge-invariant) field:
@@ -58,7 +65,8 @@ print("done", dtype)
 
 
 def run(dtype, force_cpu):
-    code = CHILD.format(here=HERE, refine=refine, ell=ell)
+    code = CHILD.format(here=HERE, refine=refine, ell=ell,
+                        problem=problem)
     subprocess.run([sys.executable, "-c", code, dtype,
                     "cpu" if force_cpu else "dev"], check=True, cwd=HERE)
 

@@ -16,13 +16,19 @@ from dealii_slod_tpu.config import SLODConfig
 from dealii_slod_tpu.models import DiffusionProblem, LODSolver
 
 
-def _prolonged(**kw):
+def _prolonged(problem="diffusion", **kw):
     cfg = SLODConfig(dim=2, n_global_refinements=3, n_subdivisions=2,
                      oversampling=2, lod_stabilization=True,
                      constant_coefficients=False, coef_seed=0,
                      rhs="1", bc="0", dtype="float64",
                      write_output=False, solve_fine_problem=False, **kw)
-    s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+    if problem == "elasticity":
+        from dealii_slod_tpu.models import ElasticityProblem
+        cfg.rhs = "1; 1"
+        prob = ElasticityProblem(cfg)
+    else:
+        prob = DiffusionProblem(cfg)
+    s = LODSolver(cfg, prob, verbose=False)
     s.assemble_fine_rhs()
     s.compute_basis()
     s.assemble_coarse_operator()
@@ -33,5 +39,15 @@ def _prolonged(**kw):
 def test_smallk_fused_matches_lapack_field():
     u_ref = _prolonged()                        # lapack eigh + lax solver
     u_sk = _prolonged(eig_solver="smallk", patch_solver="fused")
+    rel = np.abs(u_sk - u_ref).max() / np.abs(u_ref).max()
+    assert rel < 1e-4, rel
+
+
+def test_smallk_fused_matches_lapack_field_elasticity():
+    """C > 1 exercises the batched candidate assembly in finish_post_dvec
+    (dvec (C, cD) -> one matmul chain) and the C-component smallk batch."""
+    u_ref = _prolonged("elasticity")
+    u_sk = _prolonged("elasticity", eig_solver="smallk",
+                      patch_solver="fused")
     rel = np.abs(u_sk - u_ref).max() / np.abs(u_ref).max()
     assert rel < 1e-4, rel
