@@ -29,6 +29,15 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     import jax
+    # honor JAX_PLATFORMS programmatically: on hosts whose site package
+    # registers an accelerator plugin (the axon-tunneled TPU here), the
+    # environment variable alone does NOT divert jax to the CPU backend
+    env_plat = os.environ.get("JAX_PLATFORMS")
+    if env_plat:
+        try:
+            jax.config.update("jax_platforms", env_plat)
+        except Exception:
+            pass
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
 
