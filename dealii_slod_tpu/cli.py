@@ -50,6 +50,15 @@ def main(argv=None) -> int:
 
     from dealii_slod_tpu.config import SLODConfig
 
+    # honor JAX_PLATFORMS programmatically: on hosts whose site package
+    # registers an accelerator plugin, the env var alone does not divert
+    # jax to the requested backend
+    env_plat = os.environ.get("JAX_PLATFORMS")
+    if env_plat and "," not in env_plat:
+        try:
+            jax.config.update("jax_platforms", env_plat)
+        except Exception:
+            pass
     on_cpu = jax.default_backend() == "cpu"
     dtype = args.dtype or ("float64" if on_cpu else "float32")
     if dtype == "float64":
