@@ -68,6 +68,42 @@ def rev_dims(dims) -> tuple:
     return tuple(int(d) for d in np.asarray(dims)[::-1])
 
 
+def clipped_window_index(anchor: np.ndarray, extent, dims):
+    """Raveled indices (axis 0 fastest) of the product windows
+    ``anchor[p] + [0, extent_d)`` with coordinates clipped to ``[0, dims_d)``.
+
+    Returns ``(idx, valid)``: ``idx[p, k]`` int32 of shape
+    ``(P, prod(extent))`` equal to ``ravel(clip(anchor[p] + coords_k))``,
+    and ``valid[p, k]`` marking windows cells that were in-bounds BEFORE
+    clipping.
+
+    Memory-lean equivalent of ``ravel(np.clip(anchor[:, None, :] +
+    cartesian_coords(extent)[None, :, :], 0, dims - 1), dims)``: a product
+    window's raveled index separates per axis, so only per-axis ``(P,
+    extent_d)`` columns and the final ``(P, K)`` output are materialized —
+    never the ``(P, K, dim)`` coordinate tensor (1 GB+ at 3D refine=5,
+    and np.clip over it dominated LODSolver.__init__)."""
+    anchor = np.asarray(anchor)
+    extent = np.asarray(extent, dtype=np.int64)
+    dims = np.asarray(dims, dtype=np.int64)
+    P, dim = anchor.shape
+    strides = np.concatenate([[1], np.cumprod(dims[:-1])])
+    idx = np.zeros((P,) + (1,) * dim, dtype=np.int32)
+    valid = np.ones((P,) + (1,) * dim, dtype=bool)
+    for d in range(dim):
+        col = anchor[:, d:d + 1].astype(np.int64) + np.arange(int(extent[d]))
+        ok = (col >= 0) & (col < int(dims[d]))
+        col = np.minimum(np.maximum(col, 0), int(dims[d]) - 1) * strides[d]
+        # axis 0 is the fastest-varying in the flattened window, so it is
+        # the LAST array axis of the (P, e_{dim-1}, ..., e_0) accumulator
+        sh = [P] + [1] * dim
+        sh[1 + (dim - 1 - d)] = int(extent[d])
+        idx = idx + col.astype(np.int32).reshape(sh)
+        valid = valid & ok.reshape(sh)
+    K = int(extent.prod())
+    return idx.reshape(P, K), valid.reshape(P, K)
+
+
 @dataclasses.dataclass(frozen=True)
 class GridSpec:
     """Uniform grid of the unit hypercube [0,1]^dim.

@@ -33,7 +33,8 @@ import numpy as np
 
 from dealii_slod_tpu.config import SLODConfig
 from dealii_slod_tpu.grid import (GridSpec, PatchTopology, ShapeClass,
-                                  cartesian_coords, global_connectivity, ravel)
+                                  cartesian_coords, clipped_window_index,
+                                  global_connectivity, ravel)
 from dealii_slod_tpu.ops.assembly import (FineOperator, assemble_load_vector,
                                           make_subcell_matrices)
 from dealii_slod_tpu.ops.element import ElementTensors, quad_points_global
@@ -85,13 +86,11 @@ class LODSolver(BasisKernels, StencilOps):
         centers = cartesian_coords(self.grid.cell_dims)
         self.anchor_nodes = (centers - ell) * s        # may be negative
         self.canvas_off = (ell - (centers - self.topo.patch_lo)) * s
-        canvas_coords = cartesian_coords(self.canvas_dims)
-        gcoords = (self.anchor_nodes[:, None, :] + canvas_coords[None, :, :])
-        gcoords = np.clip(gcoords, 0, self.grid.nodes_per_axis - 1)
         # clamped: out-of-window canvas nodes hold phi = 0, so clamped
         # gathers/scatters contribute nothing.
-        self.canvas_gidx = jnp.asarray(
-            ravel(gcoords, self.grid.node_dims).astype(np.int32))
+        gidx, _ = clipped_window_index(self.anchor_nodes, self.canvas_dims,
+                                       self.grid.node_dims)
+        self.canvas_gidx = jnp.asarray(gidx)
 
         # stencil neighbor table: windows of q and p overlap iff
         # |center_p - center_q|_inf <= 2l
@@ -100,11 +99,10 @@ class LODSolver(BasisKernels, StencilOps):
         offsets = cartesian_coords(np.full(cfg.dim, 2 * R + 1)) - R
         self.stencil_offsets = offsets                 # (S, dim)
         self.n_stencil = len(offsets)
-        nb_coords = centers[:, None, :] + offsets[None, :, :]
-        valid = ((nb_coords >= 0) & (nb_coords < cfg.n_coarse)).all(axis=-1)
-        nb = ravel(np.clip(nb_coords, 0, cfg.n_coarse - 1),
-                   self.grid.cell_dims)
-        self.stencil_nbr = jnp.asarray(np.where(valid, nb, 0).astype(np.int32))
+        nb, valid = clipped_window_index(centers - R,
+                                         np.full(cfg.dim, 2 * R + 1),
+                                         self.grid.cell_dims)
+        self.stencil_nbr = jnp.asarray(np.where(valid, nb, 0))
         self.stencil_valid = jnp.asarray(valid)
         self.center_offset_idx = int(np.nonzero((offsets == 0).all(axis=1))[0][0])
 

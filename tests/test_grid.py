@@ -142,3 +142,21 @@ def test_3d_topology(dim):
     assert topo.n_patches == 4 ** dim
     assert topo.patch_sizes().max() == 3 ** dim
     assert topo.patch_sizes().min() == 2 ** dim
+
+
+@pytest.mark.parametrize("dim", [1, 2, 3])
+def test_clipped_window_index_matches_bruteforce(dim):
+    from dealii_slod_tpu.grid import (cartesian_coords, clipped_window_index,
+                                      ravel)
+    rng = np.random.default_rng(3)
+    dims = np.array([7, 5, 9][:dim])
+    extent = np.array([3, 4, 2][:dim])
+    # anchors straddling both boundaries and the interior
+    anchor = rng.integers(-3, dims + 2, size=(40, dim))
+    idx, valid = clipped_window_index(anchor, extent, dims)
+    coords = anchor[:, None, :] + cartesian_coords(extent)[None, :, :]
+    expect_valid = ((coords >= 0) & (coords < dims)).all(axis=-1)
+    expect_idx = ravel(np.clip(coords, 0, dims - 1), dims)
+    assert np.array_equal(valid, expect_valid)
+    assert np.array_equal(idx, expect_idx)
+    assert idx.dtype == np.int32
