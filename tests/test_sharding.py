@@ -50,3 +50,15 @@ def test_shard_patches_uneven_replicates():
 # (exercised by test_graft_dryrun above).  Running the same computation a
 # second time inside the loaded suite process trips XLA:CPU's hardcoded
 # collective-rendezvous abort on this single-core host.
+
+
+def test_graft_entry_compiles():
+    """The driver compile-checks entry() single-chip; keep it green here."""
+    import jax
+
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    u, A_st = jax.jit(fn)(*args)
+    import numpy as np
+    assert np.isfinite(np.asarray(u)).all()
+    assert np.isfinite(np.asarray(A_st)).all()
