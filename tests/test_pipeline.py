@@ -356,3 +356,33 @@ def test_elasticity_convergence_rates():
     # LOD-vs-FEMh decays faster than the FEM error itself (measured ~20x)
     assert lod_fem_errs[1] < lod_fem_errs[0] / 4
     assert lod_fem_errs[2] < lod_fem_errs[1] / 4, lod_fem_errs
+
+
+@pytest.mark.parametrize("dim,s,l,r,tol", [
+    (2, 3, 1, 2, 2e-2),   # odd subdivisions
+    (2, 3, 2, 3, 5e-4),   # odd subdivisions, error decays with l
+    (2, 2, 3, 3, 1e-6),   # deep oversampling
+    (3, 3, 1, 2, 3e-2),   # odd subdivisions, 3D
+])
+def test_nonstandard_discretizations(dim, s, l, r, tol):
+    """The reference's LODParameters allow any (s, l); the suite otherwise
+    only exercises s in {2, 4} and l in {1, 2, 4}.  Guard the odd-s PT
+    weights / banded-assembly subcell windows and deep-l canvases with a
+    method-error bound (LOD vs fine FEM on the same mesh)."""
+    cfg = SLODConfig(dim=dim, n_global_refinements=r, n_subdivisions=s,
+                     oversampling=l, lod_stabilization=True,
+                     constant_coefficients=False, coef_seed=0,
+                     rhs="1", bc="0", dtype="float64",
+                     solve_fine_problem=True,
+                     fine_solver=ReductionControl(8000, 1e-12, 1e-12),
+                     coarse_solver=ReductionControl(4000, 1e-12, 1e-12))
+    sol = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+    sol.compute_basis()
+    sol.assemble_coarse_operator()
+    sol.assemble_fine_rhs()
+    sol.solve_coarse()
+    u = np.asarray(sol.prolong_lod_solution())
+    sol.solve_fine_fem()
+    uf = np.asarray(sol.fem_solution)
+    err = np.linalg.norm(u - uf) / np.linalg.norm(uf)
+    assert np.isfinite(err) and err < tol, err
