@@ -88,20 +88,30 @@ def clipped_window_index(anchor: np.ndarray, extent, dims):
     dims = np.asarray(dims, dtype=np.int64)
     P, dim = anchor.shape
     strides = np.concatenate([[1], np.cumprod(dims[:-1])])
-    idx = np.zeros((P,) + (1,) * dim, dtype=np.int32)
-    valid = np.ones((P,) + (1,) * dim, dtype=bool)
+    cols, oks = [], []
     for d in range(dim):
         col = anchor[:, d:d + 1].astype(np.int64) + np.arange(int(extent[d]))
-        ok = (col >= 0) & (col < int(dims[d]))
-        col = np.minimum(np.maximum(col, 0), int(dims[d]) - 1) * strides[d]
-        # axis 0 is the fastest-varying in the flattened window, so it is
-        # the LAST array axis of the (P, e_{dim-1}, ..., e_0) accumulator
-        sh = [P] + [1] * dim
-        sh[1 + (dim - 1 - d)] = int(extent[d])
-        idx = idx + col.astype(np.int32).reshape(sh)
-        valid = valid & ok.reshape(sh)
-    K = int(extent.prod())
-    return idx.reshape(P, K), valid.reshape(P, K)
+        oks.append((col >= 0) & (col < int(dims[d])))
+        cols.append((np.minimum(np.maximum(col, 0), int(dims[d]) - 1)
+                     * strides[d]).astype(np.int32))
+
+    # fold axis 0 fastest: combine the SLOW axes first (small (P, .) arrays),
+    # so only the final fold writes the full (P, K) output once
+    def fold(parts):
+        acc = parts[-1]
+        for p in parts[-2::-1]:
+            acc = (acc[:, :, None] + p[:, None, :]).reshape(P, -1)
+        return acc
+
+    idx = fold(cols)
+
+    def fold_and(parts):
+        acc = parts[-1]
+        for p in parts[-2::-1]:
+            acc = (acc[:, :, None] & p[:, None, :]).reshape(P, -1)
+        return acc
+
+    return idx, fold_and(oks)
 
 
 @dataclasses.dataclass(frozen=True)
