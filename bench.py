@@ -24,6 +24,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 
 
 # bf16 MXU peak TFLOP/s per chip, by device-kind substring
@@ -219,12 +220,18 @@ def main():
     rate = P / best
 
     cg_iters = 40
-    # resolve the spectral mode the pipeline will actually run (basis.py
-    # _uniform_core: "auto" = smallk on TPU float32, jacobi otherwise)
+    # resolve the spectral mode the pipeline ACTUALLY runs, mirroring
+    # basis.py exactly (ADVICE r3): "auto" = smallk only at float32 on TPU,
+    # and the hoisted smallk/jacobi split only exists on the non-lax
+    # patch-solver path — the in-vmap (lax) builder uses full eigh.
     spec_mode = cfg.eig_solver
     if spec_mode == "auto":
-        spec_mode = ("smallk" if jax.default_backend() == "tpu"
+        spec_mode = ("smallk" if (solver.dtype == jnp.float32
+                                  and jax.default_backend() == "tpu")
                      else "lapack")
+    if spec_mode in ("smallk", "jacobi") \
+            and solver._fused_solver_mode() == "lax":
+        spec_mode = "lapack"
     stages = flops_model(dim, ell, sub, solver.C, P, solver.n_stencil,
                          slod=True, eig_sweeps=8, cg_iters=cg_iters,
                          spec_mode=spec_mode, smallk=cfg.smallk_dirs,
@@ -235,7 +242,7 @@ def main():
     metric = (f"{dim}d_slod_{problem}_patches_per_sec"
               if problem != "diffusion" else f"{dim}d_slod_patches_per_sec")
 
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(rate, 2),
         "unit": "patches/s",
@@ -253,7 +260,24 @@ def main():
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
-    }))
+    }
+    line = json.dumps(out)
+    print(line)
+    # persist the latest successful measurement so a number is always on
+    # record even if the TPU tunnel is down when the driver runs bench.py
+    # at round close (VERDICT r3 #1)
+    if jax.default_backend() == "tpu":
+        try:
+            import datetime
+            stamped = dict(out)
+            stamped["self_recorded_at"] = \
+                datetime.datetime.now().isoformat(timespec="seconds")
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "BENCH_SELF.json"),
+                    "w") as fh:
+                fh.write(json.dumps(stamped, indent=1) + "\n")
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

@@ -731,8 +731,13 @@ class BasisKernels:
             if spec_mode == "smallk":
                 # small Grams: use ALL directions (exact truncation loop —
                 # at cD = 50 the k=32 cap measurably degraded the basis);
-                # the k-cap only pays off once the full eig is expensive
-                k_eff = cD if cD <= 64 else cfg.smallk_dirs
+                # the k-cap only pays off once the full eig is expensive.
+                # At float64 the jitter floor does not stop the truncation
+                # loop early, so a capped k can exhaust its directions while
+                # ||d||inf >= 0.5 and silently return a worse-conditioned
+                # dvec — use all directions there too.
+                k_eff = (cD if (cD <= 64 or dt == jnp.float64)
+                         else cfg.smallk_dirs)
                 dvec = smallk_truncated_dvec(G.reshape(B * C, cD, cD),
                                              g0.reshape(B * C, cD),
                                              k=k_eff,

@@ -590,7 +590,7 @@ class LODSolver(BasisKernels, StencilOps):
                 jax.block_until_ready(self.fem_solution)
             self.log(f"   size of fem u {self.fem_solution.size}")
             if cfg.constant_coefficients:
-                t = ConvergenceTable("errFEMh")
+                t = ConvergenceTable("errFEMh", dim=cfg.dim)
                 t.add_row(self.grid.n_cells, self.grid.n_fine_dofs,
                           error_norms(self.grid, self.et, conn_np,
                                       np.asarray(self.fem_solution),
@@ -605,7 +605,7 @@ class LODSolver(BasisKernels, StencilOps):
             jax.block_until_ready(self.lod_solution)
 
         if cfg.constant_coefficients:
-            t = ConvergenceTable("errLOD")
+            t = ConvergenceTable("errLOD", dim=cfg.dim)
             t.add_row(self.grid.n_cells, self.grid.n_coarse_dofs,
                       error_norms(self.grid, self.et, conn_np,
                                   np.asarray(self.lod_solution),
@@ -613,7 +613,7 @@ class LODSolver(BasisKernels, StencilOps):
             results["error_LOD_exact"] = t
 
         if cfg.solve_fine_problem:
-            t = ConvergenceTable("errLOD")
+            t = ConvergenceTable("errLOD", dim=cfg.dim)
             t.add_row(self.grid.n_cells, self.grid.n_coarse_dofs,
                       error_norms(self.grid, self.et, conn_np,
                                   np.asarray(self.lod_solution),
@@ -627,14 +627,14 @@ class LODSolver(BasisKernels, StencilOps):
                 self.solve_coarse_fem()
                 jax.block_until_ready(self.coarse_fem_on_fine)
             if cfg.solve_fine_problem:
-                t = ConvergenceTable("errFEM")
+                t = ConvergenceTable("errFEM", dim=cfg.dim)
                 t.add_row(self.grid.n_cells, self.grid.n_coarse_dofs,
                           error_norms(self.grid, self.et, conn_np,
                                       np.asarray(self.coarse_fem_on_fine),
                                       other=np.asarray(self.fem_solution)))
                 results["error_FEMH_FEMh"] = t
             if cfg.constant_coefficients:
-                t = ConvergenceTable("errFEM")
+                t = ConvergenceTable("errFEM", dim=cfg.dim)
                 t.add_row(self.grid.n_cells, self.grid.n_coarse_dofs,
                           error_norms(self.grid, self.et, conn_np,
                                       np.asarray(self.coarse_fem_on_fine),

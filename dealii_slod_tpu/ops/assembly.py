@@ -244,75 +244,6 @@ def bands_to_dense_mm(band: jnp.ndarray, P, shift: int, nN: int
     return jnp.transpose(F, (2, 0, 3, 1)).reshape(nN * C, nN * C)
 
 
-def bands_to_offset_dense(band: jnp.ndarray, row_dims, col_dims,
-                          row_off=None) -> jnp.ndarray:
-    """Rectangular dense block (n_rows*C, n_cols*C) from nodal-stencil
-    bands whose row grid is a sub-grid of the column grid at per-axis
-    offset ``row_off`` (default 1 each: the interior restriction).
-
-    ``band``: (n_rows, 3^dim, C, C); entry (i, o) couples row node i
-    (coords r_i on the ``row_dims`` grid, x-fastest ravel) with the column
-    node at coords r_i + row_off + delta_o on the ``col_dims`` grid.
-
-    Generalizes `bands_to_dense` (row grid == col grid, offset 0): the flat
-    target position
-
-        i * n_cols + col = sum_k i_k (r_s_k n_cols + c_s_k)
-                         + sum_k delta'_k c_s_k + (base - shift)
-
-    is an affine lattice over the 2*dim index axes whose strides, sorted
-    ascending, each dominate the span of the faster block — so the whole
-    embedding is pads + reshapes, no scatter.  Entries whose column leaves
-    the grid must carry zero band values (window masks guarantee it for the
-    solve block; with ``row_off == 1`` interior rows have every neighbor
-    in-grid, so no wrap exists at all)."""
-    nR_nodes, O, C, _ = band.shape
-    r_dims = np.asarray(row_dims, dtype=int)
-    c_dims = np.asarray(col_dims, dtype=int)
-    dim = len(r_dims)
-    if row_off is None:
-        row_off = np.ones(dim, dtype=int)
-    row_off = np.asarray(row_off, dtype=int)
-    nR = int(r_dims.prod())
-    nC = int(c_dims.prod())
-    c_s = np.concatenate([[1], np.cumprod(c_dims[:-1])]).astype(int)
-    r_s = np.concatenate([[1], np.cumprod(r_dims[:-1])]).astype(int)
-    S = r_s * nC + c_s
-    base = int((row_off * c_s).sum())
-    shift = int(c_s.sum())
-    start = shift - base
-    axes = sorted([(int(c_s[k]), 3) for k in range(dim)]
-                  + [(int(S[k]), int(r_dims[k])) for k in range(dim)])
-    assert axes[0][0] == 1
-    # natural layout (rows slowest..fastest, then offsets slowest..fastest)
-    # is stride-descending because min(S) = nC + 1 > max(c_s)
-    x = band.reshape(tuple(int(d) for d in r_dims[::-1]) + (3,) * dim
-                     + (C, C))
-    flat_len = axes[0][1]
-    fa = x.ndim - 3                  # index of the current flat axis
-    for stride, extent in axes[1:]:
-        assert flat_len <= stride, "band lattice not mergeable"
-        if flat_len != stride:
-            pad = [(0, 0)] * x.ndim
-            pad[fa] = (0, stride - flat_len)
-            x = jnp.pad(x, pad)
-        flat_len = stride * extent
-        x = x.reshape(x.shape[:fa - 1] + (flat_len,) + x.shape[fa + 1:])
-        fa -= 1
-    F = x.reshape(flat_len, C, C)
-    need = nR * nC
-    if start < 0:
-        F = jnp.pad(F, [(-start, 0), (0, 0), (0, 0)])
-        flat_len -= start
-        start = 0
-    if start + need > flat_len:
-        F = jnp.pad(F, [(0, start + need - flat_len), (0, 0), (0, 0)])
-    F = F[start:start + need].reshape(nR, nC, C, C)
-    if C == 1:
-        return F[:, :, 0, 0]
-    return jnp.moveaxis(F, 2, 1).reshape(nR * C, nC * C)
-
-
 # ---------------------------------------------------------------------------
 # Matrix-free global fine operator
 # ---------------------------------------------------------------------------

@@ -546,6 +546,13 @@ def smallk_truncated_dvec(G: jnp.ndarray, g0: jnp.ndarray, k: int = 32,
 
     G (B, n, n) SPD batch, g0 (B, n).  Returns dvec (B, n) — the reference
     loop's final coefficient vector (latched like the reference ``break``).
+
+    Cap exhaustion: if the truncation loop would remove more than ``k``
+    directions (only reachable at float64, where the jitter floor does not
+    stop it early), the scan runs out of candidates while ``||d||inf >=
+    0.5`` and returns the k-removed vector with no diagnostic — callers
+    wanting exact reference semantics at float64 must pass ``k = n``
+    (BasisKernels does).
     """
     from dealii_slod_tpu.ops.patch_solve import gj_inverse_pallas
 

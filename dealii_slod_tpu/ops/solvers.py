@@ -27,7 +27,10 @@ class CGResult(NamedTuple):
     n_iter: jnp.ndarray
     residual: jnp.ndarray
     initial_residual: jnp.ndarray
-    converged: jnp.ndarray = jnp.asarray(True)
+    # plain Python bool default: a device-array default here would
+    # initialize the JAX backend at import time, defeating programmatic
+    # ``jax.config.update("jax_platforms", ...)`` in user scripts.
+    converged: bool = True
 
 
 def cg(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,

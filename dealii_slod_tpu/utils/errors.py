@@ -107,23 +107,52 @@ def error_norms(grid, et: ElementTensors, conn: np.ndarray, u: np.ndarray,
 
 class ConvergenceTable:
     """Accumulates (cells, dofs, norms) rows and prints an aligned table,
-    in the spirit of the reference's ParsedConvergenceTable output."""
+    in the spirit of the reference's ParsedConvergenceTable output
+    (include/LOD.h:111-115).  With two or more rows and a known ``dim``,
+    each norm column gains a rate column: the observed convergence order
+    ``log(e_prev/e_cur) / log(h_prev/h_cur)`` with ``h ~ cells^(-1/dim)``
+    (deal.II ParsedConvergenceTable's evaluate_convergence_rates)."""
 
-    def __init__(self, label: str):
+    def __init__(self, label: str, dim: int | None = None):
         self.label = label
+        self.dim = dim
         self.rows = []
 
     def add_row(self, cells: int, dofs: int, norms: Dict[str, float]):
         self.rows.append((cells, dofs, dict(norms)))
 
+    def rates(self) -> list:
+        """Per-row dict of observed orders (first row: None entries)."""
+        import math
+        out = [{k: None for k in self.rows[0][2]}] if self.rows else []
+        for (c0, _, n0), (c1, _, n1) in zip(self.rows, self.rows[1:]):
+            d = self.dim or 1
+            ratio = (c1 / c0) ** (1.0 / d)          # h0/h1
+            row = {}
+            for k in n1:
+                e0, e1 = n0.get(k), n1[k]
+                row[k] = (math.log(e0 / e1) / math.log(ratio)
+                          if e0 and e1 and e0 > 0 and e1 > 0 and ratio != 1
+                          else None)
+            out.append(row)
+        return out
+
     def __str__(self) -> str:
         if not self.rows:
             return f"[{self.label}] (empty)"
         keys = list(self.rows[0][2].keys())
+        with_rates = len(self.rows) > 1 and self.dim is not None
         head = f"{'cells':>8} {'dofs':>10} " + " ".join(
-            f"{self.label}_{k:>10}" for k in keys)
+            f"{self.label}_{k:>10}" + (f" {'rate':>6}" if with_rates else "")
+            for k in keys)
         lines = [head]
-        for cells, dofs, norms in self.rows:
-            lines.append(f"{cells:>8} {dofs:>10} " + " ".join(
-                f"{norms[k]:>{11 + len(self.label)}.6e}" for k in keys))
+        rates = self.rates() if with_rates else None
+        for i, (cells, dofs, norms) in enumerate(self.rows):
+            cols = []
+            for k in keys:
+                cols.append(f"{norms[k]:>{11 + len(self.label)}.6e}")
+                if with_rates:
+                    r = rates[i][k]
+                    cols.append(f"{r:>6.2f}" if r is not None else f"{'-':>6}")
+            lines.append(f"{cells:>8} {dofs:>10} " + " ".join(cols))
         return "\n".join(lines)

@@ -9,7 +9,6 @@ tables with observed rates.
 """
 
 import argparse
-import math
 import os
 import sys
 
@@ -75,19 +74,12 @@ def main(argv=None):
         for key, t in res.items():
             if not key.startswith("error_"):
                 continue
-            tables.setdefault(key, ConvergenceTable(t.label))
+            tables.setdefault(key, ConvergenceTable(t.label, dim=args.dim))
             tables[key].rows.extend(t.rows)
 
     for key, t in tables.items():
         print(f"\n== {key} ==")
-        print(t)
-        if len(t.rows) > 1:
-            rates = []
-            for (c0, _, n0), (c1, _, n1) in zip(t.rows, t.rows[1:]):
-                h_ratio = (c1 / c0) ** (1.0 / args.dim)
-                rates.append(math.log(n0["L2"] / n1["L2"])
-                             / math.log(h_ratio))
-            print("observed L2 rates:", [f"{r:.2f}" for r in rates])
+        print(t)  # multi-row tables print per-norm rate columns
     return 0
 
 

@@ -160,3 +160,90 @@ def test_clipped_window_index_matches_bruteforce(dim):
     assert np.array_equal(valid, expect_valid)
     assert np.array_equal(idx, expect_idx)
     assert idx.dtype == np.int32
+
+
+# ---------------------------------------------------------------------------
+# Full-depth golden diffs against the reference's .output files (VERDICT r3
+# #4): read the actual files from disk rather than re-typed constants.
+# ---------------------------------------------------------------------------
+
+import os
+
+_REF_TESTS = "/root/reference/tests"
+
+
+def _morton_to_lex(n_levels: int) -> np.ndarray:
+    """deal.II active-cell index -> lexicographic (x + N*y) cell index for a
+    hyper_cube refined ``n_levels`` times.  Global refinement visits cells
+    in recursive child order with deal.II 2D child numbering (x fastest:
+    (0,0),(1,0),(0,1),(1,1)) == the Morton/Z-order curve, so the coordinate
+    bits of cell i are the de-interleaved bits of i (x = even bits, y = odd
+    bits)."""
+    n = 1 << n_levels
+    idx = np.arange(n * n)
+    x = np.zeros(n * n, dtype=int)
+    y = np.zeros(n * n, dtype=int)
+    for b in range(n_levels):
+        x |= ((idx >> (2 * b)) & 1) << b
+        y |= ((idx >> (2 * b + 1)) & 1) << b
+    return x + n * y
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_TESTS),
+                    reason="reference tree not present")
+def test_create_patch_01_full_golden_diff():
+    # reference tests/create_patch_01.cc: dim=2, refine=5 (N=32), ell=4;
+    # prints ALL 1024 per-patch cell counts in active-cell (Morton) order
+    # (tests/create_patch_01.output:2-1025).
+    lines = open(os.path.join(_REF_TESTS, "create_patch_01.output")).read()
+    lines = lines.strip().splitlines()
+    assert lines[0].startswith("printing the vector cells")
+    golden = np.empty(len(lines) - 1, dtype=int)
+    for ln in lines[1:]:
+        # "- 17: {63}"
+        i, sz = ln.lstrip("- ").split(": {")
+        golden[int(i)] = int(sz.rstrip("}"))
+    assert golden.size == 1024
+
+    g = GridSpec(dim=2, n_coarse=32, n_sub=2)
+    topo = PatchTopology(g, oversampling=4)
+    ours_lex = topo.patch_sizes()                    # lexicographic order
+    assert np.array_equal(ours_lex[_morton_to_lex(5)], golden)
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_TESTS),
+                    reason="reference tree not present")
+def test_mv_solve_01_ndofs_golden():
+    # reference tests/mv_solve_01.cc: dim=2, refine=3 (8x8 cells),
+    # FE_Q_iso_Q1(5) -> prints n_dofs (tests/mv_solve_01.output:1)
+    golden = int(open(os.path.join(_REF_TESTS,
+                                   "mv_solve_01.output")).read().split()[0])
+    g = GridSpec(dim=2, n_coarse=8, n_sub=5)
+    assert g.n_fine_dofs == golden == 1681
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_TESTS),
+                    reason="reference tree not present")
+def test_poisson_lod_example_deterministic_lines_golden():
+    # the alpha-independent lines of tests/Poisson_LOD_Example.output,
+    # parsed from the file on disk (ref=2 -> N=4, ell=1, s=2).
+    txt = open(os.path.join(_REF_TESTS,
+                            "Poisson_LOD_Example.output")).read()
+    lines = [ln.strip() for ln in txt.splitlines()]
+
+    g = GridSpec(dim=2, n_coarse=4, n_sub=2)
+    topo = PatchTopology(g, oversampling=1)
+
+    import re
+    m = re.search(r"number of patches = (\d+)", lines[0])
+    assert topo.n_patches == int(m.group(1))
+    m = re.search(r"Patches size in \((\d+), (\d+)\)", lines[1])
+    sizes = topo.patch_sizes()
+    assert (sizes.min(), sizes.max()) == (int(m.group(1)), int(m.group(2)))
+    m = next(re.search(r"size of fem u (\d+)", ln) for ln in lines
+             if "size of fem u" in ln)
+    # total fine dofs (deal.II keeps constrained boundary rows in place)
+    assert int(m.group(1)) == g.n_fine_dofs
+    m = next(re.search(r"size of u (\d+)", ln) for ln in lines
+             if re.search(r"^size of u ", ln))
+    assert int(m.group(1)) == topo.n_patches
