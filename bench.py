@@ -43,7 +43,8 @@ def chip_peak_tflops(device) -> float:
 
 
 def flops_model(dim, ell, s, C, P, n_stencil, slod=True, eig_sweeps=8,
-                cg_iters=40, spec_mode="jacobi", smallk=32, smallk_power=3):
+                cg_iters=40, spec_mode="jacobi", smallk=32, smallk_power=3,
+                banded=True):
     """Analytic FLOPs of the end-to-end step (per the pipeline stages in
     models/lod.py one_patch + stencil build + coarse CG).  Counts multiply-
     adds as 2 FLOPs; Cholesky n^3/3, TRSM n^2 k per triangle.
@@ -52,14 +53,24 @@ def flops_model(dim, ell, s, C, P, n_stencil, slod=True, eig_sweeps=8,
     full one-sided Jacobi sweep cascade; "smallk" charges the production
     path (ops/eig.smallk_truncated_dvec: batched Gauss-Jordan inverse +
     inverse subspace iteration on the smallest ``smallk`` directions) —
-    ~10x fewer FLOPs, so the reported MFU stays honest."""
+    ~10x fewer FLOPs, so the reported MFU stays honest.
+
+    ``banded`` charges the production assembly_mode="banded" path: the
+    trace/premultiply products run through the nodal-stencil
+    ``stencil_apply`` (2 * nN * 3^dim * C^2 per column — 27x fewer FLOPs
+    than the dense (nI, nD) product the r3 model charged), plus the
+    ``bands_to_dense_mm`` placement-matmul embedding of the solve block.
+    Cross-checked against XLA cost_analysis (tests/test_flops_model.py)."""
     kappa = 2 * ell + 1
-    nI = (kappa * s - 1) ** dim * C          # interior dofs per patch
-    nD = (kappa * s + 1) ** dim * C          # canvas dofs per patch
+    nNn = (kappa * s + 1) ** dim             # canvas nodes per patch
+    nIn = (kappa * s - 1) ** dim             # interior nodes per patch
+    nI = nIn * C                             # interior dofs per patch
+    nD = nNn * C                             # canvas dofs per patch
     cD = kappa ** dim * C                    # coarse dofs per patch
     n_sub = (kappa * s) ** dim
     nq = 2 ** dim
     m = nq * C
+    O = 3 ** dim
     per_patch = {
         "assembly": 2 * n_sub * nq * m * m,
         "cholesky": nI ** 3 // 3,
@@ -67,13 +78,23 @@ def flops_model(dim, ell, s, C, P, n_stencil, slod=True, eig_sweeps=8,
         "triple_product": 2 * nI * cD * cD,
         "T_inverse": 3 * cD ** 3 + cD ** 3 // 3,
     }
+    if banded:
+        # bands_to_dense_mm: einsum("nocd,ow->cdnw") over the interior
+        # grid, w = nIn + 1 (ops/assembly.py:220-244)
+        per_patch["band_embed"] = 2 * C * C * nIn * O * (nIn + 1)
     if slod:
+        trace = ((2 * nNn * O * C * C * cD      # S_AiPT via stencil_apply
+                  if banded else 2 * nD * nI * cD)
+                 + 2 * nD * cD * cD)            # BD = (.) @ Tinv
         per_patch.update({
-            "slod_trace_products": 2 * nD * nI * cD + 2 * nD * cD * cD,
+            "slod_trace_products": trace,
             # ONE shared F = BD^T BD; per-component Grams are 0/1 diagonal
             # maskings of F (models/basis.py finish_pre)
             "slod_gram": 2 * nD * cD * cD + C * 3 * cD * cD,
             "slod_candidates": C * (2 * cD * cD + 2 * nI * cD),
+            # premultiplied basis A @ phi (k = C columns)
+            "premultiply": (2 * nNn * O * C * C * C if banded
+                            else 2 * nD * nI * C),
         })
         if spec_mode == "smallk":
             kk = min(smallk, cD)
@@ -235,7 +256,8 @@ def main():
     stages = flops_model(dim, ell, sub, solver.C, P, solver.n_stencil,
                          slod=True, eig_sweeps=8, cg_iters=cg_iters,
                          spec_mode=spec_mode, smallk=cfg.smallk_dirs,
-                         smallk_power=cfg.smallk_power)
+                         smallk_power=cfg.smallk_power,
+                         banded=cfg.assembly_mode == "banded")
     total_flops = sum(stages.values())
     tflops = total_flops / best / 1e12
     peak = chip_peak_tflops(jax.devices()[0])
