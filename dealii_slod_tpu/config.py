@@ -181,6 +181,12 @@ class SLODConfig:
                                       # glibc-rand coefficient field (always
                                       # random, as in Diffusion.h:62) and the
                                       # full-size-patch stiffness cache
+    coef_rand_offset: int = 0         # rand() draws consumed before the
+                                      # field ctor (reference_parity only).
+                                      # The Poisson_LOD_Example golden was
+                                      # generated after 12 such draws —
+                                      # offset 12 reproduces its rhs norm
+                                      # 0.0808367 to 1.7e-8 (PARITY.md)
 
     # --- output ------------------------------------------------------------
     output_directory: str = "."       # "Output directory"

@@ -146,6 +146,14 @@ def _make_random_field(cfg, dim, seed_offset, stream):
     are always random).  Otherwise ``constant_coefficients`` selects a truly
     constant field (value ``coef_min``)."""
     if getattr(cfg, "reference_parity", False):
+        if stream is None:
+            stream = GlibcRand()
+            off = getattr(cfg, "coef_rand_offset", 0)
+            if off:
+                # draws consumed before the field ctor in the app that
+                # generated the golden (12 for Poisson_LOD_Example.output;
+                # see PARITY.md "the 0.0808367 anchor")
+                stream.draw(off)
         return RandomField(cfg.coef_min, cfg.coef_max, cfg.coef_refinement,
                            dim, sampler="glibc", stream=stream)
     if cfg.constant_coefficients:

@@ -28,6 +28,8 @@ class ElasticityProblem:
         # (Elasticity.h:104-105 construction order)
         from dealii_slod_tpu.models.coefficients import GlibcRand
         stream = GlibcRand() if cfg.reference_parity else None
+        if stream is not None and cfg.coef_rand_offset:
+            stream.draw(cfg.coef_rand_offset)
         self.lam = make_field(cfg, cfg.dim, seed_offset=0, stream=stream)
         self.mu = make_field(cfg, cfg.dim, seed_offset=1, stream=stream)
 
