@@ -16,7 +16,8 @@ TimerOutput measurement contract (source/LOD.cc:16-19) upgraded to
 hardware-utilization terms.
 
 Prints ONE JSON line.  Override the config via env vars BENCH_DIM,
-BENCH_REFINE, BENCH_SUB, BENCH_ELL, BENCH_CHUNK, BENCH_PROBLEM, BENCH_REPS.
+BENCH_REFINE, BENCH_SUB, BENCH_ELL, BENCH_CHUNK, BENCH_PROBLEM, BENCH_REPS,
+BENCH_PREC (matmul precision: "high" 3-pass bf16 default, "default" 1-pass).
 """
 
 import json
@@ -191,6 +192,7 @@ def main():
         fused_nb=int(os.environ.get("BENCH_NB", 64)),
         fused_block=int(os.environ.get("BENCH_BS", 4)),
         coef_windows=os.environ.get("BENCH_COEF_WINDOWS", "1") == "1",
+        matmul_precision=os.environ.get("BENCH_PREC", "high"),
     )
     if problem == "elasticity":
         from dealii_slod_tpu.models import ElasticityProblem
