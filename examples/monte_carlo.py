@@ -61,6 +61,34 @@ def main():
         return {"alpha": jnp.asarray(f(np.asarray(solver.qpts)),
                                      solver.dtype)}
 
+    # MC_SHARD=N: shard the SAMPLE axis over an N-device mesh — each device
+    # runs the full pipeline on its own fields, zero communication (a
+    # scaling axis the reference's patch-partitioning MPI cannot express)
+    n_shard = int(os.environ.get("MC_SHARD", 0))
+    if n_shard:
+        from dealii_slod_tpu.parallel import (make_mesh, stack_fields,
+                                              sweep_step)
+        mesh = make_mesh(n_shard, axis="samples")
+        sw = sweep_step(solver, mesh=mesh, axis="samples")
+        batch = stack_fields([field(s + 1) for s in range(n_samples)])
+        t0 = time.perf_counter()
+        u, _ = sw(batch, rhs)
+        float(jnp.sum(u))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        u, _ = sw(batch, rhs)
+        float(jnp.sum(u))
+        wall = time.perf_counter() - t0
+        q = np.asarray(jnp.mean(u, axis=(1, 2)))
+        print(f"config: dim={dim} refine={refine} "
+              f"patches={solver.topo.n_patches} contrast={contrast:g} "
+              f"samples={n_samples} sharded over {n_shard} devices")
+        print(f"compile (once): {compile_s:.2f} s")
+        print(f"batch of {n_samples}: {wall * 1e3:.1f} ms "
+              f"({wall / n_samples * 1e3:.2f} ms/sample)")
+        print(f"QoI mean(u_H): mean {q.mean():.6e}  std {q.std():.2e}")
+        return
+
     # compile once on sample 0
     t0 = time.perf_counter()
     u0, _ = step(field(0), rhs)
