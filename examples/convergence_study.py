@@ -5,7 +5,13 @@ accumulated over runs, include/LOD.h:111-115) as a single script: runs the
 pipeline over a sequence of refinements and prints multi-row convergence
 tables with observed rates.
 
-    JAX_PLATFORMS=cpu python examples/convergence_study.py --dim 2 --slod
+    JAX_PLATFORMS=cpu python examples/convergence_study.py --dim 2
+
+By default oversampling scales with refinement (l = refine - 1 ~ log N, the
+coupling the LOD theory requires) and the SLOD-stabilized basis is used; pin
+--oversampling L / pass --no-stabilization to reproduce fixed-l localization
+decay instead (at fixed l the LOD-vs-FEMh tables rightly diverge under
+refinement; that is the method, not a bug).
 """
 
 import argparse
@@ -21,8 +27,14 @@ def main(argv=None):
     p.add_argument("--dim", type=int, default=2)
     p.add_argument("--refinements", type=int, nargs="+", default=[2, 3, 4])
     p.add_argument("--subdivisions", type=int, default=2)
-    p.add_argument("--oversampling", type=int, default=2)
-    p.add_argument("--slod", action="store_true")
+    p.add_argument("--oversampling", type=int, default=None,
+                   help="fixed oversampling l; default scales l = refine-1 "
+                        "(the l ~ log N the method needs: at FIXED l the "
+                        "e^{-cl} localization error dominates under mesh "
+                        "refinement and the LOD tables rightly diverge)")
+    p.add_argument("--no-stabilization", dest="slod", action="store_false",
+                   help="plain LOD candidates (default runs the SLOD "
+                        "stabilized basis, the reference's production path)")
     p.add_argument("--elasticity", action="store_true")
     p.add_argument("--random-coefficients", action="store_true")
     args = p.parse_args(argv)
@@ -60,7 +72,8 @@ def main(argv=None):
         cfg = SLODConfig(
             dim=args.dim, n_global_refinements=r,
             n_subdivisions=args.subdivisions,
-            oversampling=args.oversampling,
+            oversampling=(args.oversampling if args.oversampling
+                          else max(1, r - 1)),
             lod_stabilization=args.slod,
             constant_coefficients=not args.random_coefficients,
             rhs=rhs, exact_solution=exact, bc="0",
