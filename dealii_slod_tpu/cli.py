@@ -1,4 +1,5 @@
-"""Command-line applications: ``diffusion`` and ``elasticity``.
+"""Command-line applications: ``diffusion``, ``elasticity`` and
+``reaction`` (reaction-diffusion, beyond the reference set).
 
 Mirrors the reference apps (app/main_Diffusion.cc:3-49,
 app/main_Elasticity.cc:3-49): one executable per problem family, taking an
@@ -21,7 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dealii_slod_tpu",
                                 description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("problem", choices=["diffusion", "elasticity"])
+    p.add_argument("problem",
+               choices=["diffusion", "elasticity", "reaction"])
     p.add_argument("prm", nargs="?", default="parameters.prm",
                    help="deal.II-style parameter file (created with defaults "
                         "if missing, like the reference apps)")
@@ -84,10 +86,12 @@ def main(argv=None) -> int:
         cfg = SLODConfig.from_prm(args.prm, **overrides)
 
     from dealii_slod_tpu.models import (DiffusionProblem, ElasticityProblem,
-                                        LODSolver)
+                                        LODSolver,
+                                        ReactionDiffusionProblem)
 
-    prob = (DiffusionProblem(cfg) if args.problem == "diffusion"
-            else ElasticityProblem(cfg))
+    prob = {"diffusion": DiffusionProblem,
+            "elasticity": ElasticityProblem,
+            "reaction": ReactionDiffusionProblem}[args.problem](cfg)
     solver = LODSolver(cfg, prob, verbose=True)
     try:
         solver.run()

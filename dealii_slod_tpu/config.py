@@ -157,6 +157,9 @@ class SLODConfig:
     rhs: FunctionLike = "1"
     exact_solution: FunctionLike = "0"
     bc: FunctionLike = "0"
+    reaction: FunctionLike = "1"      # reaction coefficient c(x) >= 0 for
+                                      # ReactionDiffusionProblem (beyond the
+                                      # reference's physics set)
 
     # --- solver controls ---------------------------------------------------
     fine_solver: ReductionControl = dataclasses.field(

@@ -33,13 +33,19 @@ def make_subcell_matrices(et: ElementTensors, coefs: Dict[str, jnp.ndarray]
 
     ``coefs`` maps coefficient names to arrays of shape (..., n_sub, nq):
       - {"alpha"}           -> scalar diffusion  (Diffusion.h:181-186)
+      - {"alpha", "creact"} -> reaction-diffusion (adds the creact-weighted
+                               mass term; beyond the reference's physics set)
       - {"mu", "lam"}       -> linear elasticity (Elasticity.h:246-258)
 
     Returns (..., n_sub, mD, mD) with local dof = node * n_components + comp.
     """
     if "alpha" in coefs:
         K = jnp.asarray(et.K_grad, dtype=coefs["alpha"].dtype)
-        return jnp.einsum("...sq,qij->...sij", coefs["alpha"], K)
+        out = jnp.einsum("...sq,qij->...sij", coefs["alpha"], K)
+        if "creact" in coefs:
+            M = jnp.asarray(et.M, dtype=out.dtype)
+            out = out + jnp.einsum("...sq,qij->...sij", coefs["creact"], M)
+        return out
     K_mu = jnp.asarray(et.K_mu, dtype=coefs["mu"].dtype)
     K_lam = jnp.asarray(et.K_lam, dtype=coefs["lam"].dtype)
     return (jnp.einsum("...sq,qIJ->...sIJ", coefs["mu"], K_mu)
@@ -117,6 +123,8 @@ def make_band_tensors(et: ElementTensors) -> Dict[str, np.ndarray]:
     out = {}
     if C == 1:
         out["alpha"] = band_of(et.K_grad)
+        out["creact"] = band_of(et.M)      # consumed only when the problem
+        # supplies a "creact" coefficient (assemble_bands iterates coefs)
     else:
         out["mu"] = band_of(et.K_mu)
         out["lam"] = band_of(et.K_lam)
@@ -277,6 +285,8 @@ class FineOperator:
         cdtype = next(iter(self.coefs.values())).dtype
         if "alpha" in self.coefs:
             self._K = jnp.asarray(et.K_grad, dtype=cdtype)   # (nq, m, m)
+            self._M = (jnp.asarray(et.M, dtype=cdtype)
+                       if "creact" in self.coefs else None)
             self._mode = "scalar"
         else:
             self._Kmu = jnp.asarray(et.K_mu, dtype=cdtype)   # (nq, mD, mD)
@@ -289,8 +299,13 @@ class FineOperator:
         ue = u[self.conn]                              # (n_sub, m, C)
         if self._mode == "scalar":
             # out_e[s, i] = sum_q alpha[s,q] K[q,i,j] ue[s,j]
-            out_e = jnp.einsum("sq,qij,sj->si", self.coefs["alpha"],
-                               self._K, ue[..., 0])[..., None]
+            out_s = jnp.einsum("sq,qij,sj->si", self.coefs["alpha"],
+                               self._K, ue[..., 0])
+            if self._M is not None:
+                out_s = out_s + jnp.einsum("sq,qij,sj->si",
+                                           self.coefs["creact"], self._M,
+                                           ue[..., 0])
+            out_e = out_s[..., None]
         else:
             m = ue.shape[1]
             uflat = ue.reshape(ue.shape[0], m * C)
@@ -318,6 +333,9 @@ class FineOperator:
         C = self.C
         if self._mode == "scalar":
             dloc = jnp.einsum("sq,qii->si", self.coefs["alpha"], self._K)
+            if self._M is not None:
+                dloc = dloc + jnp.einsum("sq,qii->si", self.coefs["creact"],
+                                         self._M)
             dloc = dloc[..., None]                     # (n_sub, m, 1)
         else:
             dflat = (jnp.einsum("sq,qII->sI", self.coefs["mu"], self._Kmu)
