@@ -9,13 +9,14 @@ import numpy as np
 import pytest
 
 from dealii_slod_tpu.config import SLODConfig
-from dealii_slod_tpu.models import DiffusionProblem, ElasticityProblem, LODSolver
+from dealii_slod_tpu.models import (DiffusionProblem, ElasticityProblem,
+                                    LODSolver, ReactionDiffusionProblem)
 
 from tests.test_pipeline import _explicit_C_matrices
 
 RNG = np.random.default_rng(20260818)
 CONFIGS = []
-for _ in range(6):
+for _ in range(8):
     dim = int(RNG.choice([2, 2, 3]))
     refine = int(RNG.choice([2, 3] if dim == 2 else [2]))
     CONFIGS.append(dict(
@@ -23,7 +24,8 @@ for _ in range(6):
         n_global_refinements=refine,
         n_subdivisions=int(RNG.choice([2, 3])),
         oversampling=int(RNG.choice([1, 2])),
-        n_components=int(RNG.choice([1, 1, dim])),
+        kind=str(RNG.choice(["diffusion", "diffusion", "elasticity",
+                             "reaction"])),
         lod_stabilization=bool(RNG.choice([True, False])),
         coef_max=float(RNG.choice([1.0, 100.0])),
     ))
@@ -32,19 +34,22 @@ for _ in range(6):
 @pytest.mark.parametrize("spec", CONFIGS,
                          ids=[f"d{c['dim']}r{c['n_global_refinements']}"
                               f"s{c['n_subdivisions']}l{c['oversampling']}"
-                              f"c{c['n_components']}"
+                              f"{c['kind'][:4]}"
                               f"{'S' if c['lod_stabilization'] else 'L'}"
                               f"k{int(c['coef_max'])}"
                               for c in CONFIGS])
 def test_stencil_triple_product_random_config(spec):
     spec = dict(spec)
-    n_comp = spec.pop("n_components")
+    kind = spec.pop("kind")
     coef_max = spec.pop("coef_max")
+    n_comp = spec["dim"] if kind == "elasticity" else 1
     cfg = SLODConfig(rhs="1" if n_comp == 1 else "; ".join(["1"] * n_comp),
                      bc="0", constant_coefficients=coef_max == 1.0,
                      coef_seed=7, coef_refinement=3, coef_min=1.0,
-                     coef_max=coef_max, **spec)
-    prob = (ElasticityProblem(cfg) if n_comp > 1 else DiffusionProblem(cfg))
+                     coef_max=coef_max, reaction="1 + x",
+                     **spec)
+    prob = {"diffusion": DiffusionProblem, "elasticity": ElasticityProblem,
+            "reaction": ReactionDiffusionProblem}[kind](cfg)
     sol = LODSolver(cfg, prob, verbose=False)
     sol.compute_basis()
     sol.assemble_coarse_operator()
