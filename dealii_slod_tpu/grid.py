@@ -95,6 +95,16 @@ def clipped_window_index(anchor: np.ndarray, extent, dims):
         cols.append((np.minimum(np.maximum(col, 0), int(dims[d]) - 1)
                      * strides[d]).astype(np.int32))
 
+    # native single-pass fold when available (the NumPy broadcast fold below
+    # runs at ~100 MB/s and dominated the ctor at 3D refine>=5)
+    try:
+        from dealii_slod_tpu.utils import native as _native
+        out = _native.fold_window_index(cols, oks, extent)
+    except Exception:
+        out = None
+    if out is not None:
+        return out
+
     # fold axis 0 fastest: combine the SLOW axes first (small (P, .) arrays),
     # so only the final fold writes the full (P, K) output once
     def fold(parts):

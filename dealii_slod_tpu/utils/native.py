@@ -28,8 +28,10 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_NATIVE_DIR, "slod_native.cpp")
+        src = os.path.join(_NATIVE_DIR, "slod_native.cpp")
+        if (not os.path.exists(_LIB_PATH)
+                or (os.path.exists(src) and os.path.getmtime(src)
+                    > os.path.getmtime(_LIB_PATH))):
             if not os.path.exists(src):
                 return None
             subprocess.run(
@@ -42,10 +44,45 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8)]
         lib.write_vtu_binary.restype = ctypes.c_int
+        lib.fold_window_index.argtypes = [
+            ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
     except Exception:
         _lib = None
     return _lib
+
+
+def fold_window_index(cols, oks, extents):
+    """Native outer-sum fold of per-axis window columns (the
+    LODSolver-ctor hotspot at scale; see grid.clipped_window_index).
+
+    ``cols[d]``: (P, extents[d]) int32 stride-scaled clipped columns;
+    ``oks[d]``: matching in-bounds bools.  Returns (idx (P, K) int32,
+    valid (P, K) bool) with axis 0 fastest, or None when the native
+    library is unavailable (callers fall back to the NumPy fold)."""
+    lib = load()
+    dim = len(cols)
+    if lib is None or dim > 3:
+        return None
+    P = cols[0].shape[0]
+    ext = np.asarray(extents, dtype=np.int32)
+    K = int(np.prod(ext))
+    cols_cat = np.ascontiguousarray(
+        np.concatenate([c.astype(np.int32) for c in cols], axis=1))
+    oks_cat = np.ascontiguousarray(
+        np.concatenate([o.astype(np.uint8) for o in oks], axis=1))
+    idx = np.empty((P, K), dtype=np.int32)
+    valid = np.empty((P, K), dtype=np.uint8)
+    lib.fold_window_index(
+        P, dim, ext.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cols_cat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        oks_cat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return idx, valid.astype(bool)
 
 
 def build_patches(dim: int, n_coarse: int, ell: int):
