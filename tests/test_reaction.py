@@ -111,3 +111,34 @@ def test_reaction_manufactured_convergence():
         errs_lod.append(np.linalg.norm(u - uf) / np.linalg.norm(uf))
     assert errs_fem[0] / errs_fem[1] > 3.5          # ~4x per halving
     assert errs_lod[0] / errs_lod[1] > 4            # LOD-vs-FEMh decays
+
+
+def test_reaction_inhomogeneous_dirichlet():
+    """g != 0 through the reaction path: the lifting elimination must carry
+    the mass term too (FineOperator applies alpha AND creact).  Exact
+    u = sin(pi x) sin(pi y) + y, alpha = 1, c = 1:
+    f = (2 pi^2 + 1) sin sin + y, bc = y on the boundary."""
+    errs = []
+    for r, ell in ((2, 1), (3, 2)):
+        cfg = SLODConfig(
+            dim=2, n_global_refinements=r, n_subdivisions=2,
+            oversampling=ell, lod_stabilization=True,
+            constant_coefficients=True, reaction="1",
+            rhs="(2*pi^2 + 1)*sin(pi*x)*sin(pi*y) + y", bc="y",
+            exact_solution="sin(pi*x)*sin(pi*y) + y", dtype="float64",
+            solve_fine_problem=True,
+            fine_solver=ReductionControl(8000, 1e-12, 1e-12),
+            coarse_solver=ReductionControl(4000, 1e-12, 1e-12))
+        sol = LODSolver(cfg, ReactionDiffusionProblem(cfg), verbose=False)
+        sol.compute_basis()
+        sol.assemble_coarse_operator()
+        sol.assemble_fine_rhs()
+        sol.solve_coarse()
+        sol.solve_fine_fem()
+        u = np.asarray(sol.prolong_lod_solution())
+        uf = np.asarray(sol.fem_solution)
+        x = np.asarray(sol.grid.node_coords())
+        bnd = np.asarray(sol.grid.boundary_node_mask())
+        np.testing.assert_allclose(u[bnd, 0], x[bnd, 1], atol=1e-12)
+        errs.append(np.linalg.norm(u - uf) / np.linalg.norm(uf))
+    assert errs[0] / errs[1] > 4, errs
