@@ -403,6 +403,9 @@ class SLODConfig:
         bc = get("Dirichlet boundary conditions/Function expression")
         if bc is not None:
             kw["bc"] = bc
+        react = get("Reaction coefficient/Function expression")
+        if react is not None:
+            kw["reaction"] = react
 
         # nested ReductionControl sections (reference LOD.h:108-109,126-127;
         # deal.II declares Max steps / Tolerance / Reduction).  Exact-path
@@ -444,6 +447,8 @@ class SLODConfig:
         rhs = self.rhs if isinstance(self.rhs, str) else "<callable>"
         exact = self.exact_solution if isinstance(self.exact_solution, str) else "<callable>"
         bc = self.bc if isinstance(self.bc, str) else "<callable>"
+        react = (self.reaction if isinstance(self.reaction, str)
+                 else "<callable>")
         return (
             "subsection Problem\n"
             f"  set Compare with fine global solution = {str(self.solve_fine_problem).lower()}\n"
@@ -464,6 +469,9 @@ class SLODConfig:
             "  end\n"
             "  subsection Right hand side\n"
             f"    set Function expression = {rhs}\n"
+            "  end\n"
+            "  subsection Reaction coefficient\n"
+            f"    set Function expression = {react}\n"
             "  end\n"
             "  subsection Solver\n"
             "    subsection Fine solver control\n"
