@@ -38,6 +38,7 @@ run bench_prec_def  900 env BENCH_PREC=default python bench.py
 run bench_ela_prec 1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_PREC=default python bench.py
 run acc_prec_def   1200 env ACC_PRECISION=default python scripts/accuracy.py 3 2
 run mc_3d          1200 env MC_DIM=3 MC_REFINE=4 MC_SAMPLES=16 python examples/monte_carlo.py
+run hlo_audit       900 python scripts/hlo_audit.py
 run bench_final     900 python bench.py
 echo "ALL DONE $(date)" | tee -a $L/summary.log
 cp $L/summary.log $R/
