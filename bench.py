@@ -216,6 +216,8 @@ def main():
         fused_algo=os.environ.get("BENCH_ALGO", "ldl"),
         fused_nb=int(os.environ.get("BENCH_NB", 64)),
         fused_block=int(os.environ.get("BENCH_BS", 4)),
+        panel_nb=int(os.environ.get("BENCH_PANEL_NB", 128)),
+        panel_gj_bs=int(os.environ.get("BENCH_GJBS", 16)),
         coef_windows=os.environ.get("BENCH_COEF_WINDOWS", "1") == "1",
         matmul_precision=os.environ.get("BENCH_PREC", "high"),
     )

@@ -265,6 +265,14 @@ class SLODConfig:
                                       # moves nb^2-sized passes per chain
                                       # step; 64 measured ~5% faster than
                                       # 128 at bs=4, n=729)
+    panel_nb: int = 128               # panel/split solver block size: the
+                                      # panel LDL^T's trailing-update matmul
+                                      # width and the Schur split's
+                                      # sub-solve panel (n must tile to a
+                                      # 128 lane multiple after padding)
+    panel_gj_bs: int = 16             # Gauss-Jordan batch-block size for
+                                      # the panel solver's diagonal-block
+                                      # inverses
     fused_algo: str = "ldl"           # fused-kernel formulation: "ldl"
                                       # (block-LDL^T, batched Gauss-Jordan
                                       # diagonal inverses — scalar chain

@@ -708,9 +708,12 @@ class BasisKernels:
         def cfn(coef_list, nlo, nhi, sides):
             A_rows_I, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
             if solver_mode == "panel":
-                Ainv_PT, T_raw = panel_spd_multirhs(A_solve, PT_m)
+                Ainv_PT, T_raw = panel_spd_multirhs(
+                    A_solve, PT_m, nb=self.cfg.panel_nb,
+                    gj_bs=self.cfg.panel_gj_bs)
             elif solver_mode == "fused_split":
-                Ainv_PT, T_raw = fused_spd_multirhs_split(A_solve, PT_m)
+                Ainv_PT, T_raw = fused_spd_multirhs_split(
+                    A_solve, PT_m, nb=self.cfg.panel_nb)
             else:
                 Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m,
                                                     nb=self.cfg.fused_nb,

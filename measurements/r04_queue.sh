@@ -32,6 +32,8 @@ run bench_smallk16  900 env BENCH_SMALLK=16 python bench.py
 run bench_power2    900 env BENCH_POWER=2 python bench.py
 run bench_chunk512  900 env BENCH_CHUNK=512 python bench.py
 run bench_ela_c128  1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_CHUNK=128 python bench.py
+run bench_ela_pnb256 1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_SOLVER=panel BENCH_PANEL_NB=256 python bench.py
+run bench_ela_gj32  1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_SOLVER=panel BENCH_GJBS=32 python bench.py
 run bench_2d_dif    900 env BENCH_DIM=2 BENCH_REFINE=6 python bench.py
 run bench_2d_ela    900 env BENCH_DIM=2 BENCH_REFINE=6 BENCH_PROBLEM=elasticity python bench.py
 run bench_prec_def  900 env BENCH_PREC=default python bench.py

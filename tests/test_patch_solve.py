@@ -157,3 +157,36 @@ def test_split_recursion_matches_dense_solve(monkeypatch):
     T_ref = np.einsum("bik,bij->bkj", B, X_ref)
     assert np.abs(np.asarray(X) - X_ref).max() < 1e-8 * np.abs(X_ref).max()
     assert np.abs(np.asarray(T) - T_ref).max() < 1e-8 * np.abs(T_ref).max()
+
+
+def test_panel_knobs_reach_the_kernel(monkeypatch):
+    """cfg.panel_nb / cfg.panel_gj_bs flow from SLODConfig through
+    BasisKernels into panel_spd_multirhs / fused_spd_multirhs_split (the
+    r3 wiring used the kernel defaults, so BENCH_NB-style A/Bs silently
+    did nothing on those paths)."""
+    import dealii_slod_tpu.ops.patch_solve as ps
+    from dealii_slod_tpu.config import SLODConfig
+    from dealii_slod_tpu.models import DiffusionProblem, LODSolver
+
+    seen = {}
+
+    def fake_panel(A, B, nb=128, gj_bs=16):
+        seen["panel"] = (nb, gj_bs)
+        return ps.fused_spd_multirhs(A, B, interpret=True)
+
+    def fake_split(A, B, nb=128):
+        seen["split"] = nb
+        return ps.fused_spd_multirhs(A, B, interpret=True)
+
+    monkeypatch.setattr(ps, "panel_spd_multirhs", fake_panel)
+    monkeypatch.setattr(ps, "fused_spd_multirhs_split", fake_split)
+    kw = dict(dim=2, n_global_refinements=3, n_subdivisions=2,
+              oversampling=1, lod_stabilization=False,
+              constant_coefficients=True, rhs="1", bc="0", dtype="float64",
+              write_output=False, panel_nb=256, panel_gj_bs=32)
+    for mode, key in (("panel", "panel"), ("fused_split", "split")):
+        cfg = SLODConfig(**kw, patch_solver=mode)
+        s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+        s.compute_basis()
+    assert seen["panel"] == (256, 32)
+    assert seen["split"] == 256
