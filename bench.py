@@ -220,6 +220,7 @@ def main():
         panel_gj_bs=int(os.environ.get("BENCH_GJBS", 16)),
         coef_windows=os.environ.get("BENCH_COEF_WINDOWS", "1") == "1",
         matmul_precision=os.environ.get("BENCH_PREC", "high"),
+        coarse_solve=os.environ.get("BENCH_COARSE", "cg"),
     )
     if problem == "elasticity":
         from dealii_slod_tpu.models import ElasticityProblem

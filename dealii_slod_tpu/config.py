@@ -302,6 +302,14 @@ class SLODConfig:
                                       # directly (128 MB f64 at the cap);
                                       # larger systems use the cap-free
                                       # stencil Chebyshev coarse correction
+    coarse_solve: str = "cg"          # coarse-system solver: "cg"
+                                      # (ReductionControl CG + Jacobi, the
+                                      # reference's solve, LOD.cc:976-1002)
+                                      # or "direct" (dense Cholesky below
+                                      # coarse_dense_cap — one MXU factor
+                                      # instead of a latency-bound
+                                      # iteration; falls back to CG above
+                                      # the cap)
     coarse_dense_cap: int = 8192      # largest coarse system (n_patches *
                                       # n_components) whose CG matvec uses
                                       # the dense placement-embedded lattice

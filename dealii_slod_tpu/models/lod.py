@@ -274,6 +274,12 @@ class LODSolver(BasisKernels, StencilOps):
         rhs_c = jnp.einsum("pncd,pnc->pd", self.Phi, f_at_canvas)
         self.coarse_rhs = rhs_c
         self.log(f"     rhs l2 norm = {float(jnp.linalg.norm(rhs_c)):.6g}")
+        if self._use_direct_coarse():
+            x = self._coarse_direct_fn(self.A_stencil)(rhs_c)
+            self.coarse_solution = x                          # (P, C)
+            self.coarse_cg = None
+            self.log(f"   size of u {x.size}")
+            return x
         diag = jnp.einsum("pdd->pd",
                           self.A_stencil[:, self.center_offset_idx])
         rc = self.cfg.coarse_solver
@@ -412,6 +418,8 @@ class LODSolver(BasisKernels, StencilOps):
                     if self.cfg.kernel_mode == "uniform"
                     else fem_rhs[self.canvas_gidx])           # (P, canvas, C)
             rhs_c = constrain(jnp.einsum("pncd,pnc->pd", Phi, f_at))
+            if self._use_direct_coarse():
+                return self._coarse_direct_fn(A_st)(rhs_c), A_st
             diag = jnp.einsum("pdd->pd", A_st[:, self.center_offset_idx])
             rc = self.cfg.coarse_solver
             res = cg(self._coarse_matvec_fn(A_st), rhs_c,

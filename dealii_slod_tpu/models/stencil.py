@@ -346,6 +346,29 @@ class StencilOps:
                 vals[q, k].reshape(-1))
         return bands_to_dense_mm(vals, *placement)
 
+    def _use_direct_coarse(self) -> bool:
+        """cfg.coarse_solve == "direct" applies below ``coarse_dense_cap``
+        (the dense factor is one MXU op chain; CG remains the cap-free
+        path — and the reference's own solver, source/LOD.cc:976-1002)."""
+        n = self.topo.n_patches * self.C
+        return (getattr(self.cfg, "coarse_solve", "cg") == "direct"
+                and n <= getattr(self.cfg, "coarse_dense_cap", 8192))
+
+    def _coarse_direct_fn(self, A_st):
+        """rhs -> A_LOD^-1 rhs by dense Cholesky of the placement-embedded
+        coarse matrix.  One factor + two triangular solves replaces the
+        coarse CG's ~17 latency-bound iterations at the bench config
+        (the 4096^2 f32 factor is ~2e10 MXU flops — microseconds of
+        compute; the CG's cost is per-iteration dispatch, not flops)."""
+        Ad = self.coarse_dense_matrix(A_st)
+        L = jnp.linalg.cholesky(Ad)
+
+        def solve(rhs):
+            x = jax.scipy.linalg.cho_solve((L, True), rhs.reshape(-1))
+            return x.reshape(rhs.shape)
+
+        return solve
+
     def _coarse_matvec_fn(self, A_st):
         """Matvec closure for the coarse CG: dense-embedded below the cap
         (the dense matrix is built ONCE outside the CG loop), stencil

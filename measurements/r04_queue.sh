@@ -17,6 +17,7 @@ run() {
   cp $L/summary.log $R/ 2>/dev/null
 }
 run bench_default   900 python bench.py
+run bench_coarse_dir 900 env BENCH_COARSE=direct python bench.py
 run solverbench_dif 900 python scripts/solverbench.py 729 125 256
 run bench_panel     900 env BENCH_SOLVER=panel python bench.py
 run bench_elast     1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 python bench.py
@@ -40,6 +41,7 @@ run bench_prec_def  900 env BENCH_PREC=default python bench.py
 run bench_ela_prec 1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_PREC=default python bench.py
 run acc_prec_def   1200 env ACC_PRECISION=default python scripts/accuracy.py 3 2
 run mc_3d          1200 env MC_DIM=3 MC_REFINE=4 MC_SAMPLES=16 python examples/monte_carlo.py
+run serve_3d        900 env MR_DIM=3 MR_REFINE=4 MR_RHS=32 python examples/multi_rhs.py
 run hlo_audit       900 python scripts/hlo_audit.py
 run bench_final     900 python bench.py
 echo "ALL DONE $(date)" | tee -a $L/summary.log

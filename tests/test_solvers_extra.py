@@ -186,3 +186,42 @@ def test_two_level_cap_routes_to_stencil_variant():
     s.solve_fine_fem()
     assert called.get("stencil"), "dense path used above the cap"
     assert bool(s.fine_cg.converged)
+
+
+def test_direct_coarse_solve_matches_cg():
+    """cfg.coarse_solve="direct" (dense Cholesky below coarse_dense_cap)
+    must reproduce the CG coarse solution — both in the eager
+    ``solve_coarse`` stage and inside the jitted ``build_step``; above the
+    cap it must fall back to CG."""
+    import numpy as np
+    from dealii_slod_tpu.config import ReductionControl, SLODConfig
+    from dealii_slod_tpu.models import DiffusionProblem, LODSolver
+
+    kw = dict(dim=2, n_global_refinements=3, n_subdivisions=2,
+              oversampling=2, lod_stabilization=True,
+              constant_coefficients=False, coef_seed=4, rhs="1", bc="0",
+              dtype="float64", write_output=False,
+              coarse_solver=ReductionControl(800, 1e-12, 1e-12))
+    out = {}
+    for mode in ("cg", "direct"):
+        cfg = SLODConfig(**kw, coarse_solve=mode)
+        s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+        s.compute_basis(); s.assemble_coarse_operator()
+        s.assemble_fine_rhs()
+        u = np.asarray(s.solve_coarse())
+        step = s.build_step()
+        u_step, _ = step(s.coef_q, s.fem_rhs)
+        # jit-vs-eager fusion roundoff is CG/conditioning-amplified to
+        # ~3e-8 relative at this config
+        np.testing.assert_allclose(np.asarray(u_step), u, rtol=1e-6,
+                                   atol=1e-12)
+        out[mode] = u
+    np.testing.assert_allclose(out["direct"], out["cg"], rtol=1e-6,
+                               atol=1e-11)
+    # above the cap: direct must route back to CG (coarse_cg populated)
+    cfg = SLODConfig(**kw, coarse_solve="direct", coarse_dense_cap=4)
+    s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+    s.compute_basis(); s.assemble_coarse_operator(); s.assemble_fine_rhs()
+    u_cap = np.asarray(s.solve_coarse())
+    assert s.coarse_cg is not None
+    np.testing.assert_allclose(u_cap, out["cg"], rtol=1e-8, atol=1e-11)
