@@ -288,6 +288,10 @@ def main():
                          spec_mode=spec_mode, smallk=cfg.smallk_dirs,
                          smallk_power=cfg.smallk_power,
                          banded=cfg.assembly_mode == "banded")
+    if solver._use_direct_coarse():
+        # coarse_solve="direct": dense Cholesky + 2 TRSVs instead of CG
+        n = P * solver.C
+        stages["coarse_cg"] = n ** 3 // 3 + 2 * 2 * n * n
     total_flops = sum(stages.values())
     tflops = total_flops / best / 1e12
     peak = chip_peak_tflops(jax.devices()[0])
