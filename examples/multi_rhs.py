@@ -49,19 +49,34 @@ def main():
     t_basis = time.perf_counter() - t0
     P = solver.topo.n_patches
 
-    # jitted serve path: fem load vector -> coarse rhs -> CG -> prolong
-    @jax.jit
-    def serve(fem_rhs):
-        f_at = solver._rhs_windows(fem_rhs)
-        rhs_c = jnp.einsum("pncd,pnc->pd", solver.Phi, f_at)
-        from dealii_slod_tpu.ops.solvers import cg
-        diag = jnp.einsum("pdd->pd",
-                          solver.A_stencil[:, solver.center_offset_idx])
-        rc = cfg.coarse_solver
-        res = cg(solver._coarse_matvec_fn(solver.A_stencil), rhs_c,
-                 max_steps=rc.max_steps, tolerance=rc.tolerance,
-                 reduce=rc.reduce, precond=lambda r: r / diag)
-        return res.x
+    # jitted serve path: fem load vector -> coarse rhs -> solve.  With
+    # MR_COARSE=direct (default when the system fits coarse_dense_cap) the
+    # Cholesky factor is computed ONCE here — each served case then costs
+    # two triangular solves instead of a CG iteration loop.
+    mode = os.environ.get("MR_COARSE",
+                          "direct" if P * solver.C <=
+                          cfg.coarse_dense_cap else "cg")
+    if mode == "direct":
+        direct = solver._coarse_direct_fn(solver.A_stencil)
+
+        @jax.jit
+        def serve(fem_rhs):
+            f_at = solver._rhs_windows(fem_rhs)
+            rhs_c = jnp.einsum("pncd,pnc->pd", solver.Phi, f_at)
+            return direct(rhs_c)
+    else:
+        @jax.jit
+        def serve(fem_rhs):
+            f_at = solver._rhs_windows(fem_rhs)
+            rhs_c = jnp.einsum("pncd,pnc->pd", solver.Phi, f_at)
+            from dealii_slod_tpu.ops.solvers import cg
+            diag = jnp.einsum("pdd->pd",
+                              solver.A_stencil[:, solver.center_offset_idx])
+            rc = cfg.coarse_solver
+            res = cg(solver._coarse_matvec_fn(solver.A_stencil), rhs_c,
+                     max_steps=rc.max_steps, tolerance=rc.tolerance,
+                     reduce=rc.reduce, precond=lambda r: r / diag)
+            return res.x
 
     rng = np.random.default_rng(0)
     n_nodes = solver.grid.n_nodes
@@ -76,7 +91,7 @@ def main():
         float(jnp.sum(u))
         walls.append(time.perf_counter() - t0)
 
-    print(f"config: dim={dim} refine={refine} patches={P}")
+    print(f"config: dim={dim} refine={refine} patches={P} coarse={mode}")
     print(f"basis + operator (once): {t_basis:.2f} s")
     print(f"serve latency per rhs: median {np.median(walls) * 1e3:.1f} ms "
           f"(min {min(walls) * 1e3:.1f}) over {n_rhs} load cases "
