@@ -193,13 +193,30 @@ def main():
     from dealii_slod_tpu.config import ReductionControl, SLODConfig
     from dealii_slod_tpu.models import DiffusionProblem, LODSolver
 
-    dim = int(os.environ.get("BENCH_DIM", 3))
-    refine = int(os.environ.get("BENCH_REFINE", 4))
-    sub = int(os.environ.get("BENCH_SUB", 2))
-    ell = int(os.environ.get("BENCH_ELL", 2))
-    chunk = int(os.environ.get("BENCH_CHUNK", 256))
-    reps = int(os.environ.get("BENCH_REPS", 5))
     problem = os.environ.get("BENCH_PROBLEM", "diffusion")
+
+    # measured-winner knob defaults: ADOPTED.json (written by
+    # scripts/adopt.py from the unattended A/B queue) provides per-problem
+    # BENCH_* defaults; explicit env vars still win.  This lets the
+    # watcher-run measurement session promote a winning knob to the
+    # driver's round-close bench without a code edit.
+    adopted = {}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "ADOPTED.json")) as fh:
+            adopted = json.load(fh).get(problem, {})
+    except Exception:
+        pass
+
+    def env(k, default):
+        return os.environ.get(k, adopted.get(k, default))
+
+    dim = int(env("BENCH_DIM", 3))
+    refine = int(env("BENCH_REFINE", 4))
+    sub = int(env("BENCH_SUB", 2))
+    ell = int(env("BENCH_ELL", 2))
+    chunk = int(env("BENCH_CHUNK", 256))
+    reps = int(env("BENCH_REPS", 5))
 
     cfg = SLODConfig(
         dim=dim, n_global_refinements=refine, n_subdivisions=sub,
@@ -208,19 +225,19 @@ def main():
         rhs="1", bc="0", dtype="float32", patch_chunk=chunk,
         solve_fine_problem=False,
         coarse_solver=ReductionControl(500, 1e-6, 1e-6),
-        eig_sweeps=int(os.environ.get("BENCH_EIG_SWEEPS", 12)),
-        eig_tol=float(os.environ.get("BENCH_EIG_TOL", 3e-6)),
-        patch_solver=os.environ.get("BENCH_SOLVER", "auto"),
-        smallk_dirs=int(os.environ.get("BENCH_SMALLK", 32)),
-        smallk_power=int(os.environ.get("BENCH_POWER", 3)),
-        fused_algo=os.environ.get("BENCH_ALGO", "ldl"),
-        fused_nb=int(os.environ.get("BENCH_NB", 64)),
-        fused_block=int(os.environ.get("BENCH_BS", 4)),
-        panel_nb=int(os.environ.get("BENCH_PANEL_NB", 128)),
-        panel_gj_bs=int(os.environ.get("BENCH_GJBS", 16)),
-        coef_windows=os.environ.get("BENCH_COEF_WINDOWS", "1") == "1",
-        matmul_precision=os.environ.get("BENCH_PREC", "high"),
-        coarse_solve=os.environ.get("BENCH_COARSE", "cg"),
+        eig_sweeps=int(env("BENCH_EIG_SWEEPS", 12)),
+        eig_tol=float(env("BENCH_EIG_TOL", 3e-6)),
+        patch_solver=env("BENCH_SOLVER", "auto"),
+        smallk_dirs=int(env("BENCH_SMALLK", 32)),
+        smallk_power=int(env("BENCH_POWER", 3)),
+        fused_algo=env("BENCH_ALGO", "ldl"),
+        fused_nb=int(env("BENCH_NB", 64)),
+        fused_block=int(env("BENCH_BS", 4)),
+        panel_nb=int(env("BENCH_PANEL_NB", 128)),
+        panel_gj_bs=int(env("BENCH_GJBS", 16)),
+        coef_windows=env("BENCH_COEF_WINDOWS", "1") == "1",
+        matmul_precision=env("BENCH_PREC", "high"),
+        coarse_solve=env("BENCH_COARSE", "cg"),
     )
     if problem == "elasticity":
         from dealii_slod_tpu.models import ElasticityProblem
