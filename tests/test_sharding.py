@@ -32,6 +32,26 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_step_direct_coarse_matches():
+    """coarse_solve="direct" composes with the mesh-sharded step: the
+    dense factor runs replicated after a gather; the result must equal the
+    single-device direct solve."""
+    cfg = SLODConfig(dim=2, n_global_refinements=2, n_subdivisions=2,
+                     oversampling=1, lod_stabilization=True,
+                     constant_coefficients=False, coef_seed=0,
+                     coarse_solve="direct")
+    sol = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+    sol.assemble_fine_rhs()
+    u_single, _ = jax.jit(sol.build_step())(sol.coef_q, sol.fem_rhs)
+    mesh = make_mesh(8)
+    step = jax.jit(sol.build_step(mesh=mesh))
+    coefs = {k: replicate(mesh, v) for k, v in sol.coef_q.items()}
+    u_mesh, _ = step(coefs, replicate(mesh, sol.fem_rhs))
+    np.testing.assert_allclose(np.asarray(u_mesh), np.asarray(u_single),
+                               rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_graft_dryrun():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
