@@ -35,6 +35,7 @@ run bench_chunk512  900 env BENCH_CHUNK=512 python bench.py
 run bench_ela_c128  1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_CHUNK=128 python bench.py
 run bench_ela_pnb256 1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_SOLVER=panel BENCH_PANEL_NB=256 python bench.py
 run bench_ela_gj32  1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_SOLVER=panel BENCH_GJBS=32 python bench.py
+run bench_bs2       900 env BENCH_BS=2 python bench.py
 run bench_2d_dif    900 env BENCH_DIM=2 BENCH_REFINE=6 python bench.py
 run bench_2d_ela    900 env BENCH_DIM=2 BENCH_REFINE=6 BENCH_PROBLEM=elasticity python bench.py
 run bench_prec_def  900 env BENCH_PREC=default python bench.py
@@ -51,6 +52,7 @@ adopt() { python scripts/adopt.py "$@" 2>&1 | tee -a $L/summary.log; }
 adopt $L/bench_default.log $L/bench_coarse_dir.log diffusion BENCH_COARSE direct
 adopt $L/bench_default.log $L/bench_panel.log     diffusion BENCH_SOLVER panel
 adopt $L/bench_default.log $L/bench_chunk512.log  diffusion BENCH_CHUNK 512
+adopt $L/bench_default.log $L/bench_bs2.log       diffusion BENCH_BS 2
 adopt $L/bench_elast.log $L/bench_elast_pan.log   elasticity BENCH_SOLVER panel
 adopt $L/bench_elast.log $L/bench_ela_c128.log    elasticity BENCH_CHUNK 128
 adopt $L/bench_elast_pan.log $L/bench_ela_pnb256.log elasticity BENCH_PANEL_NB 256
