@@ -173,9 +173,14 @@ class SLODConfig:
     coef_max: float = 100.0
     coef_refinement: int = 8          # random field lives on a 2^r per-axis grid
     coef_seed: int = 0
-    coef_field: str = "random"        # "random" (problem_parameter) or
+    coef_field: str = "random"        # "random" (problem_parameter),
                                       # "channel" (channel_parameter,
-                                      # Elasticity.h:56-89)
+                                      # Elasticity.h:56-89), or "lognormal"
+                                      # (correlated Gaussian log-field via
+                                      # FFT spectral sampling — beyond the
+                                      # reference; for MC/sweep studies)
+    coef_corr_len: float = 0.1        # lognormal field correlation length
+                                      # (Gaussian kernel, domain units)
     fine_preconditioner: str = "jacobi"  # "jacobi" or "two_level" (additive
                                       # Jacobi + coarse LOD-space correction —
                                       # the TPU-native stand-in for AMG at

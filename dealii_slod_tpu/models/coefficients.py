@@ -130,9 +130,15 @@ class ChannelField:
 
 def make_field(cfg, dim: int, seed_offset: int = 0,
                stream: "GlibcRand" = None):
-    if getattr(cfg, "coef_field", "random") == "channel":
+    kind = getattr(cfg, "coef_field", "random")
+    if kind == "channel":
         return ChannelField(cfg.coef_min, cfg.coef_max, cfg.coef_refinement,
                             dim)
+    if kind == "lognormal":
+        return LognormalField(cfg.coef_min, cfg.coef_max,
+                              cfg.coef_refinement, dim,
+                              corr_len=getattr(cfg, "coef_corr_len", 0.1),
+                              seed=cfg.coef_seed + seed_offset)
     return _make_random_field(cfg, dim, seed_offset, stream)
 
 
@@ -160,3 +166,86 @@ def _make_random_field(cfg, dim, seed_offset, stream):
         return RandomField(cfg.coef_min, cfg.coef_min, cfg.coef_refinement, dim)
     return RandomField(cfg.coef_min, cfg.coef_max, cfg.coef_refinement, dim,
                        seed=cfg.coef_seed + seed_offset, sampler="numpy")
+
+
+class LognormalField:
+    """Correlated lognormal coefficient field (beyond the reference —
+    its ``problem_parameter`` is i.i.d. per cell, Diffusion.h:7-54):
+
+        a(x) = exp(mu + sigma * Z(x)),   Z ~ N(0, 1) stationary Gaussian,
+        corr(Z(x), Z(y)) = exp(-|x - y|^2 / (2 l^2))
+
+    sampled on the ``2^refinement`` per-axis lattice by the spectral
+    (FFT circulant-filter) method: white noise, filtered by the square
+    root of the periodified kernel's spectrum.  ``mu``/``sigma`` are set
+    so the geometric median is sqrt(min*max) and +-2 sigma spans
+    [min, max].  Deterministic per seed; `__call__` matches the
+    piecewise-constant lattice lookup of :class:`RandomField`."""
+
+    def __init__(self, min_val: float, max_val: float, refinement: int,
+                 dim: int, corr_len: float = 0.1, seed: int = 0):
+        self.min_val, self.max_val = float(min_val), float(max_val)
+        self.dim = dim
+        self.n_per_axis = N = 2 ** refinement
+        self.eta = 1.0 / N
+        if max_val == min_val:
+            self.values = None
+            return
+        z = sample_gaussian_lattice(
+            np.random.default_rng(seed), N, dim, corr_len)
+        mu = 0.5 * (np.log(min_val) + np.log(max_val))
+        sigma = 0.25 * (np.log(max_val) - np.log(min_val))
+        self.values = np.exp(mu + sigma * z).reshape(-1)
+
+    def __call__(self, points: np.ndarray) -> np.ndarray:
+        points = np.asarray(points)
+        if self.values is None:
+            return np.full(points.shape[:-1], self.min_val)
+        idx = np.clip((points / self.eta).astype(np.int64), 0,
+                      self.n_per_axis - 1)
+        strides = self.n_per_axis ** np.arange(self.dim)
+        return self.values[(idx * strides).sum(axis=-1)]
+
+
+def _spectral_filter(N: int, dim: int, corr_len: float) -> np.ndarray:
+    """sqrt of the periodified Gaussian kernel's spectrum on the N^dim
+    lattice (clipped at 0 — the circulant embedding of a Gaussian kernel
+    is numerically PSD for l << domain)."""
+    h = (np.arange(N) + 0.0) / N
+    h = np.minimum(h, 1.0 - h)                      # periodic distance
+    k1 = np.exp(-0.5 * (h / corr_len) ** 2)
+    ker = k1
+    for _ in range(dim - 1):
+        ker = np.multiply.outer(ker, k1)
+    spec = np.fft.fftn(ker).real
+    return np.sqrt(np.maximum(spec, 0.0))
+
+
+def sample_gaussian_lattice(rng, N: int, dim: int,
+                            corr_len: float) -> np.ndarray:
+    """One unit-variance correlated Gaussian lattice sample (N, ..., N)."""
+    w = rng.standard_normal((N,) * dim)
+    filt = _spectral_filter(N, dim, corr_len)
+    z = np.fft.ifftn(np.fft.fftn(w) * filt).real
+    return z / max(z.std(), 1e-30)
+
+
+def lognormal_lattice_batch(key, S: int, refinement: int, dim: int,
+                            min_val: float, max_val: float,
+                            corr_len: float = 0.1):
+    """Jittable device-side batch sampler for MC sweeps: (S, N^dim)
+    lognormal lattice fields, one jax PRNG stream, FFT filtering on
+    device.  Pairs with ``parallel.sweep``: shard the sample axis over
+    the mesh and every device draws/solves its own fields."""
+    import jax
+    import jax.numpy as jnp
+
+    N = 2 ** refinement
+    filt = jnp.asarray(_spectral_filter(N, dim, corr_len))
+    w = jax.random.normal(key, (S,) + (N,) * dim)
+    axes = tuple(range(1, dim + 1))
+    z = jnp.fft.ifftn(jnp.fft.fftn(w, axes=axes) * filt, axes=axes).real
+    z = z / jnp.maximum(z.std(axis=axes, keepdims=True), 1e-30)
+    mu = 0.5 * (np.log(min_val) + np.log(max_val))
+    sigma = 0.25 * (np.log(max_val) - np.log(min_val))
+    return jnp.exp(mu + sigma * z).reshape(S, -1)

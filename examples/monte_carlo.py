@@ -55,11 +55,32 @@ def main():
 
     step = jax.jit(solver.build_step())
 
-    def field(seed):
-        f = RandomField(cfg.coef_min, cfg.coef_max, coef_ref, dim,
-                        seed=seed, sampler="numpy")
-        return {"alpha": jnp.asarray(f(np.asarray(solver.qpts)),
-                                     solver.dtype)}
+    # MC_FIELD=lognormal: correlated Gaussian log-fields, sampled on device
+    # (models/coefficients.lognormal_lattice_batch); default: the
+    # reference-style i.i.d. piecewise-constant field, sampled on host
+    field_kind = os.environ.get("MC_FIELD", "random")
+    if field_kind == "lognormal":
+        from dealii_slod_tpu.models.coefficients import (
+            lognormal_lattice_batch)
+        corr = float(os.environ.get("MC_CORR_LEN", 0.1))
+        N = 2 ** coef_ref
+        eta = 1.0 / N
+        qpts = np.asarray(solver.qpts)
+        idx = np.clip((qpts / eta).astype(np.int64), 0, N - 1)
+        strides = N ** np.arange(dim)
+        flat_idx = jnp.asarray((idx * strides).sum(axis=-1))
+        lat = lognormal_lattice_batch(
+            jax.random.PRNGKey(cfg.coef_seed), n_samples + 1, coef_ref,
+            dim, cfg.coef_min, cfg.coef_max, corr_len=corr)
+
+        def field(seed):
+            return {"alpha": lat[seed, flat_idx].astype(solver.dtype)}
+    else:
+        def field(seed):
+            f = RandomField(cfg.coef_min, cfg.coef_max, coef_ref, dim,
+                            seed=seed, sampler="numpy")
+            return {"alpha": jnp.asarray(f(np.asarray(solver.qpts)),
+                                         solver.dtype)}
 
     # MC_SHARD=N: shard the SAMPLE axis over an N-device mesh — each device
     # runs the full pipeline on its own fields, zero communication (a
