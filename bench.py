@@ -334,6 +334,13 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        if ms and "peak_bytes_in_use" in ms:
+            out["detail"]["peak_hbm_gb"] = round(
+                ms["peak_bytes_in_use"] / 2 ** 30, 3)
+    except Exception:
+        pass
     line = json.dumps(out)
     print(line)
     # persist the latest successful measurement so a number is always on
