@@ -136,3 +136,13 @@ set Oversampling  = 2
     cfg = SLODConfig.from_prm(str(p))
     assert cfg.output_name == "real"
     assert cfg.oversampling == 2
+
+
+def test_cli_reaction_subcommand(rundir):
+    """The reaction-diffusion CLI app runs end-to-end (prm-on-missing +
+    VTU outputs), like the diffusion/elasticity subcommands."""
+    rc = cli_main(["reaction", "--no-fine-solve"])
+    assert rc == 0
+    assert (rundir / "parameters.prm").exists()
+    root, _ = _vtu_header(rundir / "solution_coarse.vtu")
+    assert root.find(".//Piece") is not None
