@@ -34,7 +34,9 @@ run bench_default   900 python bench.py
 run bench_coarse_dir 900 env BENCH_COARSE=direct python bench.py
 run bench_elast     1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 python bench.py
 run bench_elast_pan 1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_SOLVER=panel python bench.py
+run bench_panel     900 env BENCH_SOLVER=panel python bench.py
 adopt $L/bench_default.log $L/bench_coarse_dir.log diffusion BENCH_COARSE direct
+adopt $L/bench_default.log $L/bench_panel.log     diffusion BENCH_SOLVER panel
 adopt $L/bench_elast.log $L/bench_elast_pan.log   elasticity BENCH_SOLVER panel
 run bench_final1    900 python bench.py
 # rollback guard 1: combined adopted diffusion config must not regress
@@ -57,7 +59,6 @@ kommit "measurements: r4 TPU critical block (default + coarse-direct + elasticit
 
 # ---- exploration tail -----------------------------------------------------
 run solverbench_dif 900 python scripts/solverbench.py 729 125 256
-run bench_panel     900 env BENCH_SOLVER=panel python bench.py
 run stagebench3     900 python scripts/stagebench3.py
 run solverbench_ela 1200 python scripts/solverbench.py 2187 375 64
 run stagebench3_ela 1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 python scripts/stagebench3.py
@@ -88,7 +89,6 @@ run hlo_audit       900 python scripts/hlo_audit.py
 # exact-algebra (accuracy-neutral) knobs only; accuracy-affecting knobs
 # (SMALLK/POWER/PREC/EIG_*) are NEVER auto-adopted.  Baselines: final1
 # (stage-1 adopted diffusion config), bench_elast(_pan) for elasticity.
-adopt $L/bench_final1.log $L/bench_panel.log     diffusion BENCH_SOLVER panel
 adopt $L/bench_final1.log $L/bench_chunk512.log  diffusion BENCH_CHUNK 512
 adopt $L/bench_final1.log $L/bench_bs2.log       diffusion BENCH_BS 2
 adopt $L/bench_elast_f1.log $L/bench_ela_c128.log elasticity BENCH_CHUNK 128
