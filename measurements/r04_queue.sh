@@ -115,6 +115,7 @@ else:
 PYEOF
 run bench_post_guard 900 python bench.py
 run bench_elast_final 1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 python bench.py
+python scripts/session_report.py $L $R/REPORT.md 2>&1 | tee -a $L/summary.log
 echo "ALL DONE $(date)" | tee -a $L/summary.log
 cp $L/summary.log $R/
 kommit "measurements: r4 TPU session results (auto-committed by the watcher queue)"
