@@ -53,9 +53,14 @@ def main():
     # MR_COARSE=direct (default when the system fits coarse_dense_cap) the
     # Cholesky factor is computed ONCE here — each served case then costs
     # two triangular solves instead of a CG iteration loop.
-    mode = os.environ.get("MR_COARSE",
-                          "direct" if P * solver.C <=
-                          cfg.coarse_dense_cap else "cg")
+    fits_cap = P * solver.C <= cfg.coarse_dense_cap
+    mode = os.environ.get("MR_COARSE", "direct" if fits_cap else "cg")
+    if mode == "direct" and not fits_cap:
+        # the library's own direct path refuses above the cap (an uncapped
+        # dense factor is a multi-GB allocation); mirror that here
+        print(f"MR_COARSE=direct: {P * solver.C} coarse dofs exceed "
+              f"coarse_dense_cap={cfg.coarse_dense_cap}; using cg")
+        mode = "cg"
     if mode == "direct":
         direct = solver._coarse_direct_fn(solver.A_stencil)
 

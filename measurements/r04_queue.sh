@@ -24,7 +24,9 @@ run() {
 }
 adopt() { python scripts/adopt.py "$@" 2>&1 | tee -a $L/summary.log; }
 kommit() {
-  git add measurements BENCH_SELF.json ADOPTED.json ADOPTED.rolled_back.json 2>/dev/null
+  for f in measurements BENCH_SELF.json ADOPTED.json ADOPTED.rolled_back.json; do
+    [ -e "$f" ] && git add "$f" 2>/dev/null
+  done
   git -c user.name=distsys-graft -c user.email=graft@local \
     commit -q -m "$1" 2>/dev/null
 }
@@ -41,15 +43,26 @@ adopt $L/bench_elast.log $L/bench_elast_pan.log   elasticity BENCH_SOLVER panel
 run bench_final1    900 python bench.py
 # rollback guard 1: combined adopted diffusion config must not regress
 python - << 'PYEOF' 2>&1 | tee -a $L/summary.log
-import sys, os
+import sys, os, json
 sys.path.insert(0, "scripts")
 from adopt import last_json_line
 base = last_json_line("/tmp/tpu_session/bench_default.log")
 fin = last_json_line("/tmp/tpu_session/bench_final1.log")
-if base and fin and not fin.get("stale") and float(fin["value"]) < float(base["value"]) * 0.99 \
-        and os.path.exists("ADOPTED.json"):
-    os.rename("ADOPTED.json", "ADOPTED.rolled_back.json")
-    print(f"rollback-1: adopted config {fin['value']} < default {base['value']}; ADOPTED.json removed")
+regressed = (base and fin and not fin.get("stale")
+             and float(fin["value"]) < float(base["value"]) * 0.99)
+if regressed and os.path.exists("ADOPTED.json"):
+    # problem-scoped: only the diffusion section regressed; keep the
+    # independently A/B-validated elasticity adoptions
+    data = json.load(open("ADOPTED.json"))
+    dropped = data.pop("diffusion", None)
+    json.dump({"diffusion": dropped}, open("ADOPTED.rolled_back.json", "w"),
+              indent=1)
+    if data:
+        json.dump(data, open("ADOPTED.json", "w"), indent=1)
+    else:
+        os.remove("ADOPTED.json")
+    open("/tmp/tpu_session/GUARD1_ROLLBACK", "w").write("1")
+    print(f"rollback-1: diffusion {fin['value']} < default {base['value']}; diffusion adoptions dropped ({dropped})")
 else:
     print(f"guard-1 ok: final1 {fin and fin.get('value')} vs default {base and base.get('value')}")
 PYEOF
@@ -89,32 +102,67 @@ run hlo_audit       900 python scripts/hlo_audit.py
 # exact-algebra (accuracy-neutral) knobs only; accuracy-affecting knobs
 # (SMALLK/POWER/PREC/EIG_*) are NEVER auto-adopted.  Baselines: final1
 # (stage-1 adopted diffusion config), bench_elast(_pan) for elasticity.
-adopt $L/bench_final1.log $L/bench_chunk512.log  diffusion BENCH_CHUNK 512
-adopt $L/bench_final1.log $L/bench_bs2.log       diffusion BENCH_BS 2
+DBASE=$L/bench_final1.log
+[ -f $L/GUARD1_ROLLBACK ] && DBASE=$L/bench_default.log
+adopt $DBASE $L/bench_chunk512.log  diffusion BENCH_CHUNK 512
+# BENCH_BS only affects the fused solver: a panel adoption makes the bs2
+# run a duplicate config, so skip the (noise-measuring) adopt there
+if ! grep -q '"BENCH_SOLVER": "panel"' ADOPTED.json 2>/dev/null; then
+  adopt $DBASE $L/bench_bs2.log     diffusion BENCH_BS 2
+fi
 adopt $L/bench_elast_f1.log $L/bench_ela_c128.log elasticity BENCH_CHUNK 128
 adopt $L/bench_elast_pan.log $L/bench_ela_pnb256.log elasticity BENCH_PANEL_NB 256
 adopt $L/bench_elast_pan.log $L/bench_ela_gj32.log  elasticity BENCH_GJBS 32
 run bench_final2    900 python bench.py
 # rollback guard 2: the stage-2 combination must not regress vs stage 1
 python - << 'PYEOF' 2>&1 | tee -a $L/summary.log
-import sys, os, shutil
+import sys, os, json
 sys.path.insert(0, "scripts")
 from adopt import last_json_line
-ref = (last_json_line("/tmp/tpu_session/bench_final1.log")
-       or last_json_line("/tmp/tpu_session/bench_default.log"))
+rolled1 = os.path.exists("/tmp/tpu_session/GUARD1_ROLLBACK")
+ref = (last_json_line("/tmp/tpu_session/bench_default.log") if rolled1
+       else (last_json_line("/tmp/tpu_session/bench_final1.log")
+             or last_json_line("/tmp/tpu_session/bench_default.log")))
 fin = last_json_line("/tmp/tpu_session/bench_final2.log")
 if ref and fin and not fin.get("stale") and float(fin["value"]) < float(ref["value"]) * 0.99:
-    if os.path.exists("/tmp/tpu_session/ADOPTED.stage1.json"):
-        shutil.copy("/tmp/tpu_session/ADOPTED.stage1.json", "ADOPTED.json")
-        print(f"rollback-2: stage-2 config {fin['value']} < stage-1 {ref['value']}; restored stage-1 ADOPTED.json")
+    # restore the stage-1 DIFFUSION section only (elasticity untouched:
+    # its own guard runs after bench_elast_final)
+    cur = json.load(open("ADOPTED.json")) if os.path.exists("ADOPTED.json") else {}
+    st1 = (json.load(open("/tmp/tpu_session/ADOPTED.stage1.json"))
+           if os.path.exists("/tmp/tpu_session/ADOPTED.stage1.json") else {})
+    if rolled1 or "diffusion" not in st1:
+        cur.pop("diffusion", None)
+    else:
+        cur["diffusion"] = st1["diffusion"]
+    if cur:
+        json.dump(cur, open("ADOPTED.json", "w"), indent=1)
     elif os.path.exists("ADOPTED.json"):
-        os.rename("ADOPTED.json", "ADOPTED.rolled_back.json")
-        print(f"rollback-2: stage-2 config {fin['value']} < baseline {ref['value']}; ADOPTED.json removed")
+        os.remove("ADOPTED.json")
+    print(f"rollback-2: stage-2 diffusion {fin['value']} < {ref['value']}; diffusion section restored to stage-1")
 else:
-    print(f"guard-2 ok: final2 {fin and fin.get('value')} vs stage-1 {ref and ref.get('value')}")
+    print(f"guard-2 ok: final2 {fin and fin.get('value')} vs baseline {ref and ref.get('value')}")
 PYEOF
 run bench_post_guard 900 python bench.py
 run bench_elast_final 1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 python bench.py
+# elasticity guard: the combined elasticity adoptions must not regress
+python - << 'PYEOF' 2>&1 | tee -a $L/summary.log
+import sys, os, json
+sys.path.insert(0, "scripts")
+from adopt import last_json_line
+base = last_json_line("/tmp/tpu_session/bench_elast.log")
+fin = last_json_line("/tmp/tpu_session/bench_elast_final.log")
+if base and fin and not fin.get("stale") and float(fin["value"]) < float(base["value"]) * 0.99 \
+        and os.path.exists("ADOPTED.json"):
+    data = json.load(open("ADOPTED.json"))
+    dropped = data.pop("elasticity", None)
+    if data:
+        json.dump(data, open("ADOPTED.json", "w"), indent=1)
+    else:
+        os.remove("ADOPTED.json")
+    print(f"rollback-ela: {fin['value']} < default {base['value']}; elasticity adoptions dropped ({dropped})")
+else:
+    print(f"guard-ela ok: elast_final {fin and fin.get('value')} vs default {base and base.get('value')}")
+PYEOF
 python scripts/session_report.py $L $R/REPORT.md 2>&1 | tee -a $L/summary.log
 echo "ALL DONE $(date)" | tee -a $L/summary.log
 cp $L/summary.log $R/

@@ -9,24 +9,11 @@ For every *.log in the session dir: extract the LAST bench JSON line
 unattended session leaves a readable artifact in the repo.
 """
 import glob
-import json
 import os
 import sys
 
-
-def last_json_line(path):
-    rec = None
-    with open(path, errors="replace") as fh:
-        for line in fh:
-            line = line.strip()
-            if line.startswith("{"):
-                try:
-                    cand = json.loads(line)
-                except ValueError:
-                    continue
-                if "value" in cand:
-                    rec = cand
-    return rec
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from adopt import last_json_line  # single bench-log JSON parser
 
 
 def tail_lines(path, n=8):
@@ -66,7 +53,9 @@ def main():
         lines.append("")
     for name, tl in other:
         lines += [f"## {name}", "", "```"] + tl + ["```", ""]
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    out_dir = os.path.dirname(out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"wrote {out} ({len(bench_rows)} bench rows, "
