@@ -88,6 +88,7 @@ run bench_bs2       900 env BENCH_BS=2 python bench.py
 run bench_ela_c128  1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_CHUNK=128 python bench.py
 run bench_ela_pnb256 1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_SOLVER=panel BENCH_PANEL_NB=256 python bench.py
 run bench_ela_gj32  1200 env BENCH_PROBLEM=elasticity BENCH_REFINE=3 BENCH_SOLVER=panel BENCH_GJBS=32 python bench.py
+run bench_pan_gj64  900 env BENCH_SOLVER=panel BENCH_GJBS=64 python bench.py
 run bench_2d_dif    900 env BENCH_DIM=2 BENCH_REFINE=6 python bench.py
 run bench_2d_ela    900 env BENCH_DIM=2 BENCH_REFINE=6 BENCH_PROBLEM=elasticity python bench.py
 run bench_prec_def  900 env BENCH_PREC=default python bench.py
@@ -105,6 +106,10 @@ run hlo_audit       900 python scripts/hlo_audit.py
 DBASE=$L/bench_final1.log
 [ -f $L/GUARD1_ROLLBACK ] && DBASE=$L/bench_default.log
 adopt $DBASE $L/bench_chunk512.log  diffusion BENCH_CHUNK 512
+# gj_bs only matters on the panel path
+if grep -q '"BENCH_SOLVER": "panel"' ADOPTED.json 2>/dev/null; then
+  adopt $L/bench_panel.log $L/bench_pan_gj64.log diffusion BENCH_GJBS 64
+fi
 # BENCH_BS only affects the fused solver: a panel adoption makes the bs2
 # run a duplicate config, so skip the (noise-measuring) adopt there
 if ! grep -q '"BENCH_SOLVER": "panel"' ADOPTED.json 2>/dev/null; then
