@@ -178,7 +178,7 @@ class BasisKernels:
         # coefficient gather.  (A genuine no-op for truly constant
         # fields; bit-faithful to the reference's cache for random ones,
         # and a dedup/broadcast perf win either way.)
-        if (self.cfg.constant_coefficients
+        if (self._stiffness_cache_ok()
                 and sc.n_cells_local
                 == (2 * self.cfg.oversampling + 1) ** self.cfg.dim):
             gsub = np.broadcast_to(gsub[:1], gsub.shape)
@@ -202,7 +202,7 @@ class BasisKernels:
         coords = sc.sub_coords[None, :, :] + anchors[:, None, :]
         coords = np.clip(coords, 0, g.fine_cells_per_axis - 1)
         gsub = ravel(coords, g.fine_cell_dims).astype(np.int32)
-        if cfg.constant_coefficients:
+        if self._stiffness_cache_ok():
             full = (topo.patch_shape
                     == 2 * cfg.oversampling + 1).all(axis=1)
             if full.any():
@@ -824,6 +824,21 @@ class BasisKernels:
         if self.cfg.kernel_mode == "uniform":
             return self._compute_basis_uniform()
         return self._compute_basis_classes()
+
+    def _stiffness_cache_ok(self) -> bool:
+        """Validity gate for the reference's full-size-patch stiffness
+        cache (LOD.cc:354-361), which redirects full patches' coefficient
+        GATHERS to the first full patch.  Valid only when the patch
+        operator is translation-invariant: truly constant problem fields
+        (every named coefficient — a spatially varying reaction c(x)
+        invalidates it even with constant alpha), or ``reference_parity``
+        (the cache fires per the reference even for its random field)."""
+        if not self.cfg.constant_coefficients:
+            return False
+        if getattr(self.cfg, "reference_parity", False):
+            return True
+        return (hasattr(self.problem, "is_constant")
+                and self.problem.is_constant())
 
     def _patch_dedup(self, nlo, nhi, sides):
         """For constant coefficient fields the basis depends only on the

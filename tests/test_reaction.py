@@ -142,3 +142,35 @@ def test_reaction_inhomogeneous_dirichlet():
         np.testing.assert_allclose(u[bnd, 0], x[bnd, 1], atol=1e-12)
         errs.append(np.linalg.norm(u - uf) / np.linalg.norm(uf))
     assert errs[0] / errs[1] > 4, errs
+
+
+def test_reaction_varying_c_with_constant_alpha_symmetric():
+    """constant_coefficients=True (constant alpha) + x-dependent reaction
+    coefficient: the LOD.cc:354-361 stiffness-cache redirect must NOT fire
+    (c(x) makes patch operators translation-variant) — caught as a ~1e-4
+    coarse-operator asymmetry by the r4 extended property sweep."""
+    import numpy as np
+    from dealii_slod_tpu.config import SLODConfig
+    from dealii_slod_tpu.models import LODSolver, ReactionDiffusionProblem
+    from tests.test_pipeline import _explicit_C_matrices
+
+    cfg = SLODConfig(dim=2, n_global_refinements=2, n_subdivisions=2,
+                     oversampling=1, lod_stabilization=False,
+                     constant_coefficients=True, reaction="1 + x",
+                     rhs="1", bc="0", dtype="float64", write_output=False)
+    sol = LODSolver(cfg, ReactionDiffusionProblem(cfg), verbose=False)
+    sol.compute_basis()
+    sol.assemble_coarse_operator()
+    Cmat, ACmat = _explicit_C_matrices(sol)
+    A_ref = (Cmat.T @ ACmat).toarray()
+    P, C = sol.topo.n_patches, sol.C
+    A_st = np.asarray(sol.A_stencil)
+    nbr, valid = np.asarray(sol.stencil_nbr), np.asarray(sol.stencil_valid)
+    A_full = np.zeros((P * C, P * C))
+    for q in range(P):
+        for k in range(sol.n_stencil):
+            if valid[q, k]:
+                A_full[q*C:(q+1)*C, nbr[q, k]*C:(nbr[q, k]+1)*C] = A_st[q, k]
+    scale = np.abs(A_full).max()
+    assert np.abs(A_full - A_full.T).max() < 1e-12 * scale
+    np.testing.assert_allclose(A_full, A_ref, rtol=1e-9, atol=1e-12 * scale)
