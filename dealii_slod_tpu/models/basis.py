@@ -29,6 +29,18 @@ from dealii_slod_tpu.ops.solvers import (cholesky_factor, cholesky_solve,
                                          spd_inverse)
 
 
+def smallk_k_eff(cD: int, dtype, smallk_dirs: int) -> int:
+    """Direction count for the hoisted smallk spectral stage.
+
+    Small Grams use ALL directions (exact truncation loop — at cD = 50
+    the k=32 cap measurably degraded the basis); the k-cap only pays off
+    once the full eig is expensive.  At float64 the jitter floor does not
+    stop the truncation loop early, so a capped k can exhaust its
+    directions while ||d||inf >= 0.5 and silently return a
+    worse-conditioned dvec — use all directions there too."""
+    return cD if (cD <= 64 or dtype == jnp.float64) else smallk_dirs
+
+
 class BasisKernels:
     """Basis-construction methods of the LOD solver (mixin)."""
 
@@ -732,15 +744,7 @@ class BasisKernels:
             G, g0 = vpre(A_rows_I, Ainv_PT, Tinv, cvd, nlo, nhi, sides)
             B = G.shape[0]
             if spec_mode == "smallk":
-                # small Grams: use ALL directions (exact truncation loop —
-                # at cD = 50 the k=32 cap measurably degraded the basis);
-                # the k-cap only pays off once the full eig is expensive.
-                # At float64 the jitter floor does not stop the truncation
-                # loop early, so a capped k can exhaust its directions while
-                # ||d||inf >= 0.5 and silently return a worse-conditioned
-                # dvec — use all directions there too.
-                k_eff = (cD if (cD <= 64 or dt == jnp.float64)
-                         else cfg.smallk_dirs)
+                k_eff = smallk_k_eff(cD, self.dtype, cfg.smallk_dirs)
                 dvec = smallk_truncated_dvec(G.reshape(B * C, cD, cD),
                                              g0.reshape(B * C, cD),
                                              k=k_eff,

@@ -36,6 +36,18 @@ def _prolonged(problem="diffusion", **kw):
     return np.asarray(s.prolong_lod_solution())
 
 
+def test_smallk_k_eff_large_cD():
+    """Regression: the cD > 64 branch evaluated an undefined name (only the
+    3D bench shapes cross 64, so the 2D e2e tests short-circuited past it;
+    r4 TPU session crash)."""
+    import jax.numpy as jnp
+    from dealii_slod_tpu.models.basis import smallk_k_eff
+    assert smallk_k_eff(50, jnp.float32, 32) == 50     # small: all dirs
+    assert smallk_k_eff(125, jnp.float32, 32) == 32    # capped on f32
+    assert smallk_k_eff(125, jnp.float64, 32) == 125   # f64: never capped
+    assert smallk_k_eff(375, jnp.dtype("float32"), 32) == 32
+
+
 def test_smallk_fused_matches_lapack_field():
     u_ref = _prolonged()                        # lapack eigh + lax solver
     u_sk = _prolonged(eig_solver="smallk", patch_solver="fused")
