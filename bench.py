@@ -215,7 +215,11 @@ def main():
     refine = int(env("BENCH_REFINE", 4))
     sub = int(env("BENCH_SUB", 2))
     ell = int(env("BENCH_ELL", 2))
-    chunk = int(env("BENCH_CHUNK", 256))
+    # elasticity triples the per-patch component count; at the 3D refine-3
+    # config chunk=256 exceeds the v5e's 15.75G HBM by ~37M (measured OOM,
+    # r4 session) — halve the default there so the elasticity bench fits.
+    chunk = int(env("BENCH_CHUNK",
+                    128 if (problem == "elasticity" and dim == 3) else 256))
     reps = int(env("BENCH_REPS", 5))
 
     cfg = SLODConfig(
