@@ -19,7 +19,10 @@ cfg = SLODConfig(
     dim=3, n_global_refinements=int(os.environ.get("BENCH_REFINE", 4)),
     n_subdivisions=2, oversampling=2, lod_stabilization=True,
     constant_coefficients=False, coef_seed=0, coef_refinement=5,
-    rhs="1", bc="0", dtype="float32", patch_chunk=256,
+    rhs="1", bc="0", dtype="float32",
+    patch_chunk=int(os.environ.get(
+        "BENCH_CHUNK",
+        128 if os.environ.get("BENCH_PROBLEM") == "elasticity" else 256)),
     solve_fine_problem=False, coarse_solver=ReductionControl(500, 1e-6, 1e-6))
 if os.environ.get("BENCH_PROBLEM") == "elasticity":
     from dealii_slod_tpu.models import ElasticityProblem
