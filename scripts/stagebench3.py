@@ -51,7 +51,7 @@ def t(name, f, *a):
 
 solver.assemble_fine_rhs()
 rhs = solver.fem_rhs
-alpha = solver.coef_q["alpha"]
+alpha = solver.coef_q[solver.coef_names[0]]
 
 with jax.default_matmul_precision(cfg.matmul_precision):
     t("coef windows (all P)", solver._coef_windows, alpha)
