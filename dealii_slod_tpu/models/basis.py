@@ -337,8 +337,9 @@ class BasisKernels:
             (which at the 3D bench config was 3.9 MB/patch to build, write
             and re-read).  Wrap-around flat positions are provably zero
             because off-grid neighbors have zero band values (the coupling
-            subcells are clipped).  band (nN, 3^dim, C, C), X (nI, k) ->
-            (nD, k)."""
+            subcells are clipped).  band (nN, 3^dim * C * C) flat (the
+            canonical A_rows_I band form — see `stencil_trace_pallas` on
+            why flat), X (nI, k) -> (nD, k)."""
             k = X_int.shape[-1]
             Xz = scatter_interior(X_int).reshape(n_nodes, C, k)
             Xp = jnp.pad(Xz, ((shiftN, shiftN), (0, 0), (0, 0)))
@@ -348,7 +349,7 @@ class BasisKernels:
                 for oi in range(n_off):
                     s0 = shiftN + int(offs_flat_np[oi])
                     Xs = jax.lax.slice_in_dim(Xp, s0, s0 + n_nodes, axis=0)
-                    t = band[:, oi, 0, 0][:, None] * Xs[:, 0]
+                    t = band[:, oi][:, None] * Xs[:, 0]
                     acc = t if acc is None else acc + t
                 return acc.reshape(n_nodes, k)
             # C > 1: each offset term is a real (n, C, C) x (n, C, k)
@@ -360,8 +361,7 @@ class BasisKernels:
             # 18.8 GB scan-input allocation, whatever axis order we pick —
             # XLA re-lays the scan xs as it pleases).
             starts = jnp.asarray(shiftN + offs_flat_np, jnp.int32)
-            bandS = jnp.transpose(band, (1, 2, 3, 0)
-                                  ).reshape(n_off, C * C, n_nodes)
+            bandS = band.T.reshape(n_off, C * C, n_nodes)
             Xp_d = tuple(Xp[:, d, :] for d in range(C))    # (nNp, k) each
 
             def step(acc, xs):
@@ -422,10 +422,13 @@ class BasisKernels:
                 band_s = band_s.at[:, center_o].add(
                     jnp.eye(C, dtype=dt)[None] * (1.0 - mnode)[:, None, None])
                 A_solve = bands_to_dense_mm(band_s, *P_int)
-                # the operator flows downstream in BAND form (nN, 3^dim,
-                # C, C) — 27x less HBM than the (nI, nD) dense block; the
-                # trace/premultiply products apply it via `stencil_apply`
-                A_rows_I = band
+                # the operator flows downstream in FLAT band form
+                # (nN, 3^dim * C * C) — 27x less HBM than the (nI, nD)
+                # dense block; the trace/premultiply products apply it via
+                # `stencil_apply` / `stencil_trace_pallas` (flat so the
+                # Pallas custom call's {2,1,0} operand layout needs no
+                # stack-allocated relayout copy)
+                A_rows_I = band.reshape(n_nodes, n_off * C * C)
             else:
                 Ksub = make_subcell_matrices(et, coefs)
                 A_raw = assemble_dense(Ksub, flat_idx, nD)
@@ -566,6 +569,12 @@ class BasisKernels:
             _, is99 = edge_masks(nlo, nhi, sides_dom)
             is99d = jnp.repeat(is99, C).astype(dt)
             S_AiPT = apply_AI(A_rows_I, Ainv_PT) * is99d[:, None]
+            return finish_pre_from_S(S_AiPT, Tinv, cvd, is99d)
+
+        def finish_pre_from_S(S_AiPT, Tinv, cvd, is99d):
+            """Gram + projections from a precomputed (99-masked) boundary
+            trace product S_AiPT (nD, cD) — the tail of `finish_pre`,
+            shared with the chunk-level dense trace path."""
             PT_b = PT * is99d[:, None] * cvd[None, :]
             BD = (S_AiPT - PT_b) @ Tinv
             F = BD.T @ BD                                  # (cD, cD)
@@ -577,6 +586,35 @@ class BasisKernels:
                 Gs.append(F * colmask[:, None] * colmask[None, :])
                 g0s.append(F[:, cen] * colmask)
             return jnp.stack(Gs), jnp.stack(g0s)
+
+        def trace_S_chunk(band_B, X_B, nlo_B, nhi_B, sides_B,
+                          interpret=None):
+            """Chunk-level 99-boundary trace product S = A @ X via the
+            VMEM-resident Pallas stencil kernel.
+
+            The C>1 `stencil_apply` scan (3^dim sequential steps, each a
+            C*C broadcast-FMA pass over the (B, nN, k) accumulator tuple)
+            moves ~60 GB of HBM per 3D elasticity chunk — measured
+            271 ms/chunk, ~half the bench wall.  (A dense-square MXU embed
+            was measured WORSE: 741 ms — the (B', C, C, nN, nN) transient
+            is itself HBM-bound.)  `stencil_trace_pallas` keeps each
+            patch's accumulator in VMEM across all 3^dim * C^2 terms, so
+            the chunk traffic is ~(band + X + S) once.  Same algebra as
+            `stencil_apply` + is99 row mask (reference boundary-trace
+            rows, LOD.cc:520-528); returns (S99, is99d)."""
+            from dealii_slod_tpu.ops.assembly import stencil_trace_pallas
+            B = band_B.shape[0]
+            k = X_B.shape[-1]
+            Xf = jax.vmap(scatter_interior)(X_B)           # (B, nD, k)
+            Xc = jnp.transpose(Xf.reshape(B, n_nodes, C, k), (0, 2, 1, 3))
+            Xp = jnp.pad(Xc, ((0, 0), (0, 0), (shiftN, shiftN), (0, 0)))
+            S = stencil_trace_pallas(
+                band_B, Xp, shiftN, tuple(int(o) for o in offs_flat_np),
+                interpret=interpret)                       # (B, C, nN, k)
+            S = jnp.transpose(S, (0, 2, 1, 3)).reshape(B, nD, k)
+            _, is99 = jax.vmap(edge_masks)(nlo_B, nhi_B, sides_B)
+            is99d = jnp.repeat(is99, C, axis=-1).astype(dt)
+            return S * is99d[:, :, None], is99d
 
         def finish_post_dvec(A_rows_I, Ainv_PT, Tinv, dvec, cvd, nlo, nhi,
                              sides_dom):
@@ -635,6 +673,10 @@ class BasisKernels:
 
         self._finish_split = (finish_pre, finish_post, finish_post_dvec,
                               slod, spec_mode, cD)
+        # chunk-level Pallas boundary-trace path (C > 1, banded): hoists
+        # the S product out of the vmap into a VMEM-resident stencil kernel
+        self._trace_chunk = ((trace_S_chunk, finish_pre_from_S)
+                             if (use_banded and C > 1 and slod) else None)
         return prep, finish, one_patch
 
     def _uniform_patch_fn(self):
@@ -741,7 +783,12 @@ class BasisKernels:
             # (the vmapped batched Cholesky degraded to per-matrix chains)
             Tinv = gj_inverse_pallas(T)
             # hoisted spectral stage over the whole chunk (B*C Grams)
-            G, g0 = vpre(A_rows_I, Ainv_PT, Tinv, cvd, nlo, nhi, sides)
+            if self._trace_chunk is not None:
+                trace_chunk, pre_from_S = self._trace_chunk
+                S99, is99d = trace_chunk(A_rows_I, Ainv_PT, nlo, nhi, sides)
+                G, g0 = jax.vmap(pre_from_S)(S99, Tinv, cvd, is99d)
+            else:
+                G, g0 = vpre(A_rows_I, Ainv_PT, Tinv, cvd, nlo, nhi, sides)
             B = G.shape[0]
             if spec_mode == "smallk":
                 k_eff = smallk_k_eff(cD, self.dtype, cfg.smallk_dirs)

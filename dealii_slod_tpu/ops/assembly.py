@@ -252,6 +252,84 @@ def bands_to_dense_mm(band: jnp.ndarray, P, shift: int, nN: int
     return jnp.transpose(F, (2, 0, 3, 1)).reshape(nN * C, nN * C)
 
 
+def _stencil_trace_kernel(nN, n_off, C, shiftN, offs_flat, b_ref, x_ref,
+                          o_ref):
+    """Per-(patch, k-tile) instance: the (nN, kt) accumulator stays in
+    VMEM across all 3^dim * C^2 shifted FMA terms — ONE write instead of
+    the XLA scan's per-offset HBM round trip of the whole accumulator.
+
+    b_ref (1, nN, n_off*C*C) with column index o*C*C + c*C + d (the
+    row-major reshape of the band — the (nN, 1) weight column slices
+    directly, no relayout); x_ref (1, C, nNp, kt) node-padded by shiftN;
+    o_ref (1, C, nN, kt)."""
+    for c in range(C):
+        acc = None
+        for o in range(n_off):
+            s0 = shiftN + int(offs_flat[o])
+            for d in range(C):
+                col = (o * C + c) * C + d
+                w = b_ref[0, :, col:col + 1]                 # (nN, 1)
+                t = w * x_ref[0, d, s0:s0 + nN, :]
+                acc = t if acc is None else acc + t
+        o_ref[0, c] = acc
+
+
+@partial(jax.jit, static_argnames=("shiftN", "offs_flat", "interpret"))
+def stencil_trace_pallas(band: jnp.ndarray, Xp: jnp.ndarray, shiftN: int,
+                         offs_flat: tuple, interpret: bool | None = None
+                         ) -> jnp.ndarray:
+    """Batched banded stencil product S = A_patch @ X for C > 1 patches:
+    S[b, c, n, :] = sum_{o, d} band[b, n, o, c, d] * Xp[b, d, n+off_o, :].
+
+    Same algebra as the in-vmap `stencil_apply` scan (the reference
+    boundary-trace rows, source/LOD.cc:520-528) — but the scan carries the
+    (B, C, nN, k) accumulator through 3^dim sequential HBM round trips
+    (~60 GB per 3D elasticity chunk, measured 271 ms); here each grid
+    instance keeps its (nN, kt) accumulator VMEM-resident, so the chunk
+    traffic is ~(band + X + S) once.  The shifted node slices are static
+    sublane rotations inside VMEM.
+
+    band (B, nN, 3^dim * C * C) FLAT with column index o*C*C + c*C + d —
+    the flat form is canonical in the C>1 chunk path so the custom call's
+    {2,1,0} operand layout needs NO relayout copy (XLA stack-allocates
+    such copies on this backend and blows the 16M scoped-VMEM limit at
+    chunk operand sizes); Xp (B, C, nNp, k) zero-padded by ``shiftN`` on
+    the node axis (wrap-around reads land in the zero pad AND carry zero
+    band weights — doubly nulled); returns (B, C, nN, k).
+    """
+    from jax.experimental import pallas as pl
+
+    B, _, nNp, k = Xp.shape
+    C = Xp.shape[1]
+    nN = band.shape[1]
+    n_off = len(offs_flat)
+    assert band.shape[2] == n_off * C * C
+    dt = Xp.dtype
+    bandf = band
+    # k tile: full k if one 128-lane tile suffices, else 128-wide tiles
+    # sized against the double-buffered VMEM residency
+    bpe = dt.itemsize
+    kt = min(-(-k // 128) * 128, 512)
+    while kt > 128 and 2 * (nN * n_off * C * C
+                            + C * (nNp + nN) * kt) * bpe > 24e6:
+        kt = max(128, (kt // 2) // 128 * 128)   # keep 128-lane divisibility
+    kp = -(-k // kt) * kt
+    if kp != k:
+        Xp = jnp.pad(Xp, ((0, 0), (0, 0), (0, 0), (0, kp - k)))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        partial(_stencil_trace_kernel, nN, n_off, C, shiftN, offs_flat),
+        grid=(B, kp // kt),
+        in_specs=[pl.BlockSpec((1, nN, n_off * C * C), lambda b, j: (b, 0, 0)),
+                  pl.BlockSpec((1, C, nNp, kt), lambda b, j: (b, 0, 0, j))],
+        out_specs=pl.BlockSpec((1, C, nN, kt), lambda b, j: (b, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, C, nN, kp), dt),
+        interpret=interpret,
+    )(bandf, Xp)
+    return out[..., :k]
+
+
 # ---------------------------------------------------------------------------
 # Matrix-free global fine operator
 # ---------------------------------------------------------------------------

@@ -126,8 +126,17 @@ with jax.default_matmul_precision(cfg.matmul_precision):
     t("Tinv (gj_inverse_pallas)", gj_inverse_pallas, T)
     Tinv = jax.jit(gj_inverse_pallas)(T)
 
-    t("pre.total (trace Gram)", vpre, A_rows_I, Ainv_PT, Tinv, cvd,
+    t("pre.total (trace Gram, scan)", vpre, A_rows_I, Ainv_PT, Tinv, cvd,
       nlo_j, nhi_j, sides_j)
+    if solver._trace_chunk is not None:
+        trace_chunk, pre_from_S = solver._trace_chunk
+
+        def pre_pallas(A_rows_I, Ainv_PT, Tinv, cvd, nlo, nhi, sides):
+            S99, is99d = trace_chunk(A_rows_I, Ainv_PT, nlo, nhi, sides)
+            return jax.vmap(pre_from_S)(S99, Tinv, cvd, is99d)
+
+        t("pre.total (trace Gram, pallas)", pre_pallas, A_rows_I, Ainv_PT,
+          Tinv, cvd, nlo_j, nhi_j, sides_j)
     G, g0 = jax.jit(vpre)(A_rows_I, Ainv_PT, Tinv, cvd, nlo_j, nhi_j,
                           sides_j)
     G = jax.block_until_ready(G)
