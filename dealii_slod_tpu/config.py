@@ -284,6 +284,12 @@ class SLODConfig:
                                       # shared across the instance batch) or
                                       # "chol" (blocked Cholesky, per-patch
                                       # masked factor loops)
+    trace_kernel: str = "auto"        # SLOD boundary-trace product S = A X:
+                                      # "auto" (VMEM-resident Pallas stencil
+                                      # kernel on TPU or whenever C > 1,
+                                      # else the banded XLA scan), "on"
+                                      # (always the kernel; interpret mode
+                                      # off-TPU), "off" (always the scan)
     assembly_mode: str = "banded"     # patch stiffness assembly: "banded"
                                       # (scatter-free nodal-stencil windows
                                       # + strided densification) or

@@ -673,10 +673,19 @@ class BasisKernels:
 
         self._finish_split = (finish_pre, finish_post, finish_post_dvec,
                               slod, spec_mode, cD)
-        # chunk-level Pallas boundary-trace path (C > 1, banded): hoists
-        # the S product out of the vmap into a VMEM-resident stencil kernel
+        # chunk-level Pallas boundary-trace path (banded): hoists the S
+        # product out of the vmap into a VMEM-resident stencil kernel.
+        # auto = C > 1 (the scan's C^2-term accumulator round trips
+        # dominate there on every backend) or TPU (where even the C=1
+        # scan costs a 3^dim-pass HBM round trip of the chunk canvases);
+        # CPU C=1 keeps the scan so the wide diffusion test matrix does
+        # not pay pallas interpret overhead.
+        use_trace_kernel = cfg.trace_kernel == "on" or (
+            cfg.trace_kernel == "auto"
+            and (C > 1 or jax.default_backend() == "tpu"))
         self._trace_chunk = ((trace_S_chunk, finish_pre_from_S)
-                             if (use_banded and C > 1 and slod) else None)
+                             if (use_banded and slod and use_trace_kernel)
+                             else None)
         return prep, finish, one_patch
 
     def _uniform_patch_fn(self):

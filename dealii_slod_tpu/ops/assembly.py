@@ -252,26 +252,44 @@ def bands_to_dense_mm(band: jnp.ndarray, P, shift: int, nN: int
     return jnp.transpose(F, (2, 0, 3, 1)).reshape(nN * C, nN * C)
 
 
-def _stencil_trace_kernel(nN, n_off, C, shiftN, offs_flat, b_ref, x_ref,
-                          o_ref):
-    """Per-(patch, k-tile) instance: the (nN, kt) accumulator stays in
-    VMEM across all 3^dim * C^2 shifted FMA terms — ONE write instead of
-    the XLA scan's per-offset HBM round trip of the whole accumulator.
+def _stencil_trace_kernel(nN, C, offs_ref, b_ref, x_ref, o_ref):
+    """Per-(patch, k-tile, offset) instance: the offset lives on the
+    (sequential) innermost grid axis, so for a fixed (patch, k-tile) the
+    output block stays VMEM-resident across all 3^dim revisits and is
+    accumulated in place — ONE HBM write instead of the XLA scan's
+    per-offset round trip of the whole accumulator.
 
-    b_ref (1, nN, n_off*C*C) with column index o*C*C + c*C + d (the
-    row-major reshape of the band — the (nN, 1) weight column slices
-    directly, no relayout); x_ref (1, C, nNp, kt) node-padded by shiftN;
-    o_ref (1, C, nN, kt)."""
+    The offset MUST be a grid axis, not an unrolled Python loop: with
+    3^dim statically-addressed x-slices unrolled in the kernel body,
+    Mosaic hoists every (nN, kt) slice buffer to the frame top (LICM) —
+    measured 72.6M / 38.3M kernel stack frames vs the 16M scoped-VMEM
+    limit at the 3D elasticity chunk shape (nN=1331, kt=128).  Here the
+    slice start is the scalar-prefetched ``offs_ref[o]`` (dynamic, so
+    nothing is hoistable) and liveness is bounded by one offset's C
+    x-slices + a C-term acc chain.
+
+    b_ref (1, 1, nN, C*C) — this grid step's weight page, lane index
+    c*C + d static; x_ref (1, C, nNp, kt) node-padded so every shifted
+    window is in range; o_ref (1, C, nN, kt), accumulated across o."""
+    from jax.experimental import pallas as pl
+
+    o = pl.program_id(2)
+    s0 = offs_ref[o]
+    xs = [x_ref[0, d, pl.ds(s0, nN), :] for d in range(C)]    # (nN, kt)
     for c in range(C):
         acc = None
-        for o in range(n_off):
-            s0 = shiftN + int(offs_flat[o])
-            for d in range(C):
-                col = (o * C + c) * C + d
-                w = b_ref[0, :, col:col + 1]                 # (nN, 1)
-                t = w * x_ref[0, d, s0:s0 + nN, :]
-                acc = t if acc is None else acc + t
-        o_ref[0, c] = acc
+        for d in range(C):
+            cd = c * C + d
+            t = b_ref[0, 0, :, cd:cd + 1] * xs[d]
+            acc = t if acc is None else acc + t
+
+        @pl.when(o == 0)
+        def _(acc=acc, c=c):
+            o_ref[0, c] = acc
+
+        @pl.when(o > 0)
+        def _(acc=acc, c=c):
+            o_ref[0, c] = o_ref[0, c] + acc
 
 
 @partial(jax.jit, static_argnames=("shiftN", "offs_flat", "interpret"))
@@ -289,44 +307,56 @@ def stencil_trace_pallas(band: jnp.ndarray, Xp: jnp.ndarray, shiftN: int,
     traffic is ~(band + X + S) once.  The shifted node slices are static
     sublane rotations inside VMEM.
 
-    band (B, nN, 3^dim * C * C) FLAT with column index o*C*C + c*C + d —
-    the flat form is canonical in the C>1 chunk path so the custom call's
-    {2,1,0} operand layout needs NO relayout copy (XLA stack-allocates
-    such copies on this backend and blows the 16M scoped-VMEM limit at
-    chunk operand sizes); Xp (B, C, nNp, k) zero-padded by ``shiftN`` on
+    band (B, nN, 3^dim * C * C) FLAT with column index o*C*C + c*C + d
+    (the canonical downstream band form); internally re-paged to
+    (B, 3^dim, nN, C*C) so each grid step's weight page is a small
+    static-lane block — the per-offset DMA moves only the true
+    nN * C^2 floats.  Xp (B, C, nNp, k) zero-padded by ``shiftN`` on
     the node axis (wrap-around reads land in the zero pad AND carry zero
     band weights — doubly nulled); returns (B, C, nN, k).
     """
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     B, _, nNp, k = Xp.shape
     C = Xp.shape[1]
     nN = band.shape[1]
     n_off = len(offs_flat)
-    assert band.shape[2] == n_off * C * C
+    CC = C * C
+    assert band.shape[2] == n_off * CC
     dt = Xp.dtype
-    bandf = band
+    band_o = jnp.transpose(band.reshape(B, nN, n_off, CC), (0, 2, 1, 3))
     # k tile: full k if one 128-lane tile suffices, else 128-wide tiles
-    # sized against the double-buffered VMEM residency
+    # sized against the double-buffered VMEM residency of the x/out blocks
     bpe = dt.itemsize
     kt = min(-(-k // 128) * 128, 512)
-    while kt > 128 and 2 * (nN * n_off * C * C
-                            + C * (nNp + nN) * kt) * bpe > 24e6:
+    while kt > 128 and 2 * C * (nNp + nN) * kt * bpe > 20e6:
         kt = max(128, (kt // 2) // 128 * 128)   # keep 128-lane divisibility
     kp = -(-k // kt) * kt
     if kp != k:
         Xp = jnp.pad(Xp, ((0, 0), (0, 0), (0, 0), (0, kp - k)))
+    offs = jnp.asarray([shiftN + int(f) for f in offs_flat], jnp.int32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        # o innermost: sequential revisits of the SAME out block (in-place
+        # accumulation), x block index constant across o (no re-fetch)
+        grid=(B, kp // kt, n_off),
+        in_specs=[
+            pl.BlockSpec((1, 1, nN, CC), lambda b, j, o, offs_r: (b, o, 0, 0)),
+            pl.BlockSpec((1, C, nNp, kt),
+                         lambda b, j, o, offs_r: (b, 0, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, C, nN, kt),
+                               lambda b, j, o, offs_r: (b, 0, 0, j)),
+    )
     out = pl.pallas_call(
-        partial(_stencil_trace_kernel, nN, n_off, C, shiftN, offs_flat),
-        grid=(B, kp // kt),
-        in_specs=[pl.BlockSpec((1, nN, n_off * C * C), lambda b, j: (b, 0, 0)),
-                  pl.BlockSpec((1, C, nNp, kt), lambda b, j: (b, 0, 0, j))],
-        out_specs=pl.BlockSpec((1, C, nN, kt), lambda b, j: (b, 0, 0, j)),
+        partial(_stencil_trace_kernel, nN, C),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, nN, kp), dt),
         interpret=interpret,
-    )(bandf, Xp)
+    )(offs, band_o, Xp)
     return out[..., :k]
 
 

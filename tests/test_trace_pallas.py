@@ -90,6 +90,30 @@ def test_trace_pallas_ktile_split():
     np.testing.assert_allclose(np.asarray(S), ref, rtol=2e-5, atol=1e-4)
 
 
+def test_diffusion_pipeline_trace_pallas_equals_scan_e2e():
+    """C=1: trace_kernel="on" (pallas, interpret on CPU) equals "off"
+    (banded scan) through the full diffusion basis pipeline — the
+    routing the TPU bench config takes under trace_kernel="auto"."""
+    from dealii_slod_tpu.models import DiffusionProblem
+
+    kw = dict(dim=2, n_global_refinements=3, n_subdivisions=2,
+              oversampling=1, lod_stabilization=True,
+              constant_coefficients=False, coef_seed=7,
+              rhs="1", bc="0", dtype="float32")
+
+    def run(mode):
+        cfg = SLODConfig(trace_kernel=mode, **kw)
+        s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+        s.compute_basis()
+        assert (s._trace_chunk is not None) == (mode == "on")
+        return np.asarray(s.Phi), np.asarray(s.APhi)
+
+    phi_scan, aphi_scan = run("off")
+    phi_pal, aphi_pal = run("on")
+    np.testing.assert_allclose(phi_pal, phi_scan, atol=1e-6)
+    np.testing.assert_allclose(aphi_pal, aphi_scan, atol=1e-5)
+
+
 def test_elasticity_pipeline_trace_pallas_equals_scan_e2e():
     """End-to-end: the fused_split chunk path with the Pallas trace routed
     in equals the same path with the per-patch scan (kernel disabled) —
