@@ -286,8 +286,8 @@ class SLODConfig:
                                       # masked factor loops)
     trace_kernel: str = "auto"        # SLOD boundary-trace product S = A X:
                                       # "auto" (VMEM-resident Pallas stencil
-                                      # kernel on TPU or whenever C > 1,
-                                      # else the banded XLA scan), "on"
+                                      # kernel whenever C > 1 — the C=1 scan
+                                      # XLA-fuses and beats it), "on"
                                       # (always the kernel; interpret mode
                                       # off-TPU), "off" (always the scan)
     assembly_mode: str = "banded"     # patch stiffness assembly: "banded"

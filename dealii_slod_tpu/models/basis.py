@@ -675,14 +675,14 @@ class BasisKernels:
                               slod, spec_mode, cD)
         # chunk-level Pallas boundary-trace path (banded): hoists the S
         # product out of the vmap into a VMEM-resident stencil kernel.
-        # auto = C > 1 (the scan's C^2-term accumulator round trips
-        # dominate there on every backend) or TPU (where even the C=1
-        # scan costs a 3^dim-pass HBM round trip of the chunk canvases);
-        # CPU C=1 keeps the scan so the wide diffusion test matrix does
-        # not pay pallas interpret overhead.
+        # auto = C > 1 ONLY: the C>1 path is a sequential lax.scan whose
+        # (B, C, nN, k) accumulator round-trips HBM 3^dim times (270 ms
+        # -> 89.5 ms/chunk measured on the v5e elasticity bench), but the
+        # C=1 path is an UNROLLED 3^dim-term chain that XLA fuses into a
+        # single elementwise kernel — the pallas version measured a bench
+        # REGRESSION there (4326 -> 3695 patches/s north star).
         use_trace_kernel = cfg.trace_kernel == "on" or (
-            cfg.trace_kernel == "auto"
-            and (C > 1 or jax.default_backend() == "tpu"))
+            cfg.trace_kernel == "auto" and C > 1)
         self._trace_chunk = ((trace_S_chunk, finish_pre_from_S)
                              if (use_banded and slod and use_trace_kernel)
                              else None)
