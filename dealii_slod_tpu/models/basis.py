@@ -766,7 +766,7 @@ class BasisKernels:
         cfg = self.cfg
         C = self.C
 
-        from dealii_slod_tpu.ops.patch_solve import gj_inverse_pallas
+        from dealii_slod_tpu.ops.patch_solve import spd_inverse_schur
 
         def cfn(coef_list, nlo, nhi, sides):
             A_rows_I, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
@@ -790,7 +790,7 @@ class BasisKernels:
                 return vfinish(A_rows_I, Ainv_PT, T, cvd, nlo, nhi, sides)
             # hoisted T inversion: one batched Gauss-Jordan Pallas kernel
             # (the vmapped batched Cholesky degraded to per-matrix chains)
-            Tinv = gj_inverse_pallas(T)
+            Tinv = spd_inverse_schur(T)
             # hoisted spectral stage over the whole chunk (B*C Grams)
             if self._trace_chunk is not None:
                 trace_chunk, pre_from_S = self._trace_chunk

@@ -37,54 +37,18 @@ class StencilOps:
     def _stencil_build(self, Phi, APhi):
         """Pure function: canvases -> stencil blocks (P, S, C, C).
 
-        Dispatches to the cell-decomposed build (fast path) unless its
-        (E, K, K, C, C) intermediate would be too large, in which case the
-        offset-loop roll build is used."""
+        The cell-decomposed build with its (E, Kc, K2, C, C) intermediate
+        K-chunked to ~1 GB.  (The offset-loop roll build it replaced as
+        the large-P fallback re-gathered ~400 MB of canvases per stencil
+        offset — measured 16.5 s of the 28.3 s refine-4 3D elasticity
+        wall; the chunked cells build does the same contraction in
+        ~160 GFLOP of MXU matmul with no full-size T.)"""
         K = (2 * self.cfg.oversampling + 1) ** self.cfg.dim
         K2 = (2 * self.cfg.oversampling + 2) ** self.cfg.dim
         t_bytes = (self.topo.n_patches * K * K2 * self.C * self.C
                    * (8 if self.dtype == jnp.float64 else 4))
-        if t_bytes <= (1 << 30):
-            return self._stencil_build_cells(Phi, APhi)
-        return self._stencil_build_roll(Phi, APhi)
-
-    def _stencil_build_roll(self, Phi, APhi):
-        """Offset-loop stencil build:
-        A_st[q, k] = sum_n phi_q[n] . Aphi_{q+delta_k}[n - delta_k*s],
-        one ``lax.map`` body over the stencil offsets with the shift realized
-        as roll + boundary mask."""
-        cfg, C = self.cfg, self.C
-        s = cfg.n_subdivisions
-        Gd = self.canvas_dims
-        canvas_grid = _rev(Gd)
-        P = self.topo.n_patches
-        Phi_f = Phi.reshape((P, self.canvas_n, C, C))
-        APhi_g = APhi.reshape((P,) + canvas_grid + (C, C))
-        t_rev = jnp.asarray(
-            (self.stencil_offsets * s)[:, ::-1].astype(np.int32))  # (S, dim)
-        iotas = [jnp.arange(int(Gd[cfg.dim - 1 - a])) for a in range(cfg.dim)]
-
-        def body(k):
-            # Aphi_p shifted by t with zero fill, realized as roll + mask on
-            # the RAW canvas (gathering a zero-padded canvas per offset costs
-            # (1+2R s/G)^dim times more HBM traffic — 15x in 3D at l=2)
-            ap = APhi_g[self.stencil_nbr[:, k]]          # (P, grid.., C, C)
-            mask = jnp.ones((), Phi.dtype)
-            for a in range(cfg.dim):                     # grid axis a
-                t = t_rev[k, a]
-                ap = jnp.roll(ap, t, axis=1 + a)
-                Ga = ap.shape[1 + a]
-                m = ((iotas[a] >= t) & (iotas[a] < Ga + t)).astype(Phi.dtype)
-                shape = [1] * (cfg.dim + 3)
-                shape[1 + a] = Ga
-                mask = mask * m.reshape(shape)
-            sl = ap * mask
-            blk = jnp.einsum("bncd,bnce->bde", Phi_f,
-                             sl.reshape(P, self.canvas_n, C, C))
-            return blk * self.stencil_valid[:, k, None, None]
-
-        A_st = jax.lax.map(body, jnp.arange(self.n_stencil))
-        return jnp.moveaxis(A_st, 0, 1)                  # (P, S, C, C)
+        n_chunks = min(K, max(1, -(-t_bytes // (1 << 30))))
+        return self._stencil_build_cells(Phi, APhi, n_chunks=int(n_chunks))
 
     def _cell_tables(self):
         """Static tables for the cell-decomposed stencil build.
@@ -199,7 +163,7 @@ class StencilOps:
                     M3[k1, m, j] = 1.0
         return M3.reshape(K * K2, self.n_stencil)
 
-    def _stencil_build_cells(self, Phi, APhi):
+    def _stencil_build_cells(self, Phi, APhi, n_chunks: int = 1):
         """Cell-decomposed stencil build, gather-free form:
 
         1. canvas pick: Y[q, (k, o)] = Phi_q[cnode(k, o)] — one ``take``
@@ -211,7 +175,13 @@ class StencilOps:
         4. patch rows G2[q, k1] = T[e(q, k1), k1] (small row gather),
         5. slot correlation as ONE dense indicator matmul with
            `_slot_match_matrix` (replaces the separable einsums whose tiny
-           trailing axes tile-padded ~28x)."""
+           trailing axes tile-padded ~28x).
+
+        With ``n_chunks > 1`` steps 3-5 run per K-slot chunk, accumulating
+        A_st directly — neither T nor G2 (each (P, K, K2, C, C): 3.7 GB at
+        refine-4 3D elasticity, 3.5 GB at refine-5 diffusion) ever
+        materializes, at identical algebra (the K axis is data-parallel
+        through steps 3-4 and the indicator matmul is a sum over K)."""
         C = self.C
         P = self.topo.n_patches
         dim = self.cfg.dim
@@ -243,10 +213,6 @@ class StencilOps:
         # the fused middle axis; d/f are the basis-column blocks
         PcT = Pc.reshape(P, K, O, C, C)
         AcT = Ac.reshape(P, K2, O, C, C)
-        T = jnp.einsum("ekocd,emocf->ekmdf", PcT, AcT)    # (E, K, K2, C, C)
-        # cell-pair rows onto the patch axis: G2[q, k1] = T[e(q, k1), k1]
-        G2 = T[jnp.asarray(tab["e_idx"]), jnp.arange(K)[None, :]]
-        G2 = G2 * tab["evalid"][:, :, None, None, None]
         # slot correlation as one dense indicator matmul.  Precision HIGH
         # (3 bf16 passes) suffices here: with 0/1 indicator entries the
         # split product (a_hi + a_lo) * b reconstructs a*b to ~2^-18
@@ -254,8 +220,21 @@ class StencilOps:
         # inherited HIGHEST (6 passes) would double the cost of the
         # largest matmul of the build (~160 GFLOP at the 3D bench config)
         M3 = jnp.asarray(self._slot_match_matrix(), self.dtype)
-        A_st = jnp.einsum("pxc,xj->pjc", G2.reshape(P, K * K2, CC), M3,
-                          precision=jax.lax.Precision.HIGH)
+        e_idx = jnp.asarray(tab["e_idx"])
+        evalid = tab["evalid"]
+        Kc = -(-K // max(1, n_chunks))
+        A_st = jnp.zeros((P, self.n_stencil, CC), self.dtype)
+        for k0 in range(0, K, Kc):
+            k1 = min(K, k0 + Kc)
+            Tk = jnp.einsum("ekocd,emocf->ekmdf",
+                            PcT[:, k0:k1], AcT)       # (E, Kc, K2, C, C)
+            G2 = Tk[e_idx[:, k0:k1], jnp.arange(k1 - k0)[None, :]]
+            G2 = G2 * evalid[:, k0:k1, None, None, None]
+            # the flat indicator row index x = (k1, k2) is k-major, so the
+            # K chunk is a contiguous row slice of M3
+            A_st = A_st + jnp.einsum(
+                "pxc,xj->pjc", G2.reshape(P, (k1 - k0) * K2, CC),
+                M3[k0 * K2:k1 * K2], precision=jax.lax.Precision.HIGH)
         return A_st.reshape(P, self.n_stencil, C, C)
 
     def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:

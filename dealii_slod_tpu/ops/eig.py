@@ -568,7 +568,7 @@ def smallk_truncated_dvec(G: jnp.ndarray, g0: jnp.ndarray, k: int = 32,
     wanting exact reference semantics at float64 must pass ``k = n``
     (BasisKernels does).
     """
-    from dealii_slod_tpu.ops.patch_solve import gj_inverse_pallas
+    from dealii_slod_tpu.ops.patch_solve import spd_inverse_schur
 
     B, n, _ = G.shape
     dt = G.dtype
@@ -585,7 +585,7 @@ def smallk_truncated_dvec(G: jnp.ndarray, g0: jnp.ndarray, k: int = 32,
     delta = jitter * jnp.where(ok, dmax, 1.0)
     eyeN = jnp.eye(n, dtype=dt)
     Gj = G + delta[:, None, None] * eyeN
-    Ginv = gj_inverse_pallas(Gj)
+    Ginv = spd_inverse_schur(Gj)
     d0 = -jnp.einsum("bij,bj->bi", Ginv, g0)
     d0 = jnp.where(ok[:, None], d0, 0.0)
     k = min(int(k), n)

@@ -422,6 +422,61 @@ def gj_inverse_pallas(A: jnp.ndarray, bs: int = 16,
     return out[:B0, :n0, :n0]
 
 
+@partial(jax.jit, static_argnames=("nb",))
+def spd_inverse_schur(M: jnp.ndarray, nb: int = 128) -> jnp.ndarray:
+    """Batched SPD inverse by a BLOCKED Gauss-Jordan sweep:
+    (B, n, n) -> (B, n, n).
+
+    The exact same sweep operator as the scalar `gj_inverse_pallas`
+    (statistics "SWEEP"; stable without pivoting for SPD) applied to
+    nb x nb pivot BLOCKS: per block, invert the pivot with the scalar
+    Pallas sweep (cheap — the (B, nb, nb) leaf shares its nb-step chain
+    across a large bs) and apply the rank-nb row/column/corner updates as
+    batched MXU einsums at the XLA level.  The scalar sweep at the 3D
+    elasticity Gram shape (B=384, n=375 -> padded 384, bs clamped to 2
+    by its VMEM guard) is 192 sequential grid instances x 384 sequential
+    VPU steps — measured 119 ms on the v5e, ~90 ms of the smallk
+    spectral stage's real per-chunk cost; the blocked form pays n/nb
+    pivot inversions + O(n^3) of MXU matmul.
+
+    NOT the 2x2 recursive Schur inversion formula: that was measured a
+    DECADE less accurate than the sweep at the jitter-floored Gram
+    conditioning (residual 0.12 vs 0.013 at cond ~1e6), and
+    Newton-Schulz polishing diverges there (spectral residual > 1 in the
+    worst directions).  Block sweeps compose identically to scalar
+    sweeps, so accuracy matches the scalar kernel by construction."""
+    B0, n0, _ = M.shape
+    dt = M.dtype
+    if n0 <= nb:
+        return gj_inverse_pallas(M)
+    n = -(-n0 // nb) * nb
+    if n != n0:
+        # identity-extend: sweeping the block-diagonal extension inverts
+        # the original block and leaves the pad decoupled
+        Mp = jnp.zeros((B0, n, n), dt).at[:, :n0, :n0].set(M)
+        pad_diag = jnp.where(jnp.arange(n) >= n0, 1.0, 0.0).astype(dt)
+        M = Mp + jnp.diag(pad_diag)[None]
+    # the rank-nb updates are cancellation-sensitive (exactly like the
+    # sweep's rank-1 updates); at ambient precision "high" (3-pass bf16)
+    # the residual was 10x the scalar sweep's, at HIGHEST it matches
+    # (0.0089 vs 0.0128 measured at cond ~1e6) — pin it, the whole
+    # matmul budget here is ~2 ms
+    hi = jax.lax.Precision.HIGHEST
+    for k0 in range(0, n, nb):
+        k1 = k0 + nb
+        P = M[:, k0:k1, k0:k1]
+        Pi = gj_inverse_pallas(P, bs=64)
+        colk = M[:, :, k0:k1]                              # (B, n, nb)
+        rowk = M[:, k0:k1, :]                              # (B, nb, n)
+        CPi = jnp.einsum("bin,bnm->bim", colk, Pi, precision=hi)
+        M = M - jnp.einsum("bim,bmj->bij", CPi, rowk, precision=hi)
+        M = M.at[:, :, k0:k1].set(CPi)
+        M = M.at[:, k0:k1, :].set(
+            jnp.einsum("bnm,bmj->bnj", Pi, rowk, precision=hi))
+        M = M.at[:, k0:k1, k0:k1].set(-Pi)
+    return -M[:, :n0, :n0]
+
+
 def _fused_kernel_chol_noalias(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref,
                                x_ref, y_ref, t_ref, e_ref):
     """No-aliasing wrapper for the Cholesky kernel: input/output aliasing

@@ -92,7 +92,7 @@ sides_j = jnp.asarray(sides[sl])
 
 from dealii_slod_tpu.ops.patch_solve import (fused_spd_multirhs,
                                              fused_spd_multirhs_split,
-                                             gj_inverse_pallas,
+                                             spd_inverse_schur,
                                              panel_spd_multirhs)
 
 with jax.default_matmul_precision(cfg.matmul_precision):
@@ -123,8 +123,8 @@ with jax.default_matmul_precision(cfg.matmul_precision):
         print("done", flush=True)
         sys.exit(0)
 
-    t("Tinv (gj_inverse_pallas)", gj_inverse_pallas, T)
-    Tinv = jax.jit(gj_inverse_pallas)(T)
+    t("Tinv (spd_inverse_schur)", spd_inverse_schur, T)
+    Tinv = jax.jit(spd_inverse_schur)(T)
 
     t("pre.total (trace Gram, scan)", vpre, A_rows_I, Ainv_PT, Tinv, cvd,
       nlo_j, nhi_j, sides_j)
