@@ -503,13 +503,15 @@ def mgs_qr_pallas(X: jnp.ndarray, bs: int = 64, passes: int = 2,
     n = -(-n0 // 128) * 128
     kp = -(-k0 // 8) * 8
     # XLA stack-allocates the relayout copy of a pallas operand it deems
-    # small enough (<= 16M), but forgets the result buffer: an operand in
-    # (8M, 16M] blows the 16M scoped-VMEM limit at compile time (measured:
-    # f32[192,32,384] -> "Scoped allocation with size 17.80M").  Larger
-    # operands get a proper HBM relayout.  Split the batch out of the
-    # danger window; each half's stack pair then fits.
+    # small enough (<= 16M), but forgets the result buffer: the operand +
+    # result stack PAIR blows the 16M scoped-VMEM limit at compile time
+    # well below a 16M single operand (measured: f32[192,32,384] (9.4M)
+    # AND f32[128,32,384] (6.3M) both -> "Scoped allocation with size
+    # 17.80M" — the pair plus the frame).  Larger operands get a proper
+    # HBM relayout.  Split the batch below the danger window (recursing
+    # until each piece's pair + frame fits).
     bytes_padded = X.dtype.itemsize * (-(-B0 // bs) * bs) * kp * n
-    if 8 * 2 ** 20 < bytes_padded <= 16 * 2 ** 20 and B0 > 1:
+    if 4 * 2 ** 20 < bytes_padded <= 16 * 2 ** 20 and B0 > 1:
         half = B0 // 2
         return jnp.concatenate(
             [mgs_qr_pallas(X[:half], bs=bs, passes=passes,
