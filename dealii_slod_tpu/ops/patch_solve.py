@@ -784,6 +784,20 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
                 interpret=interpret,
             )(Ap, Bp)
         elif bs >= 4:
+            # the factor's length-n scalar chain is paid once per INSTANCE
+            # and shared by its bs patches.  Above bs=4 the scratch
+            # residency exceeds the DEFAULT 16M scoped-VMEM limit — raise
+            # it explicitly there (the v5e has 128M physical VMEM; the
+            # per-kernel limit is a compiler default, not a hardware
+            # bound).  Measured at the north-star config: bs=8 REGRESSES
+            # (4325 -> 3427 patches/s) — the doubled per-instance DMA and
+            # working set cost more than the halved chain count — so bs=4
+            # stays the default; the raised limit exists for
+            # experimentation.  None below the threshold keeps the
+            # default-path kernel byte-identical (warm compile cache).
+            scratch_bytes = dt.itemsize * bs * (n * n + n * k + 2 * k * k)
+            vmem_limit = (min(int(scratch_bytes * 1.25), 100 * 2 ** 20)
+                          if scratch_bytes * 1.25 > 16 * 2 ** 20 else None)
             X, T = pl.pallas_call(
                 partial(_fused_kernel_ldl_dma2, pl, pltpu, nb, n_blocks, bs),
                 grid=grid,
@@ -796,6 +810,8 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
                                 pltpu.SemaphoreType.DMA,
                                 pltpu.SemaphoreType.DMA,
                                 pltpu.SemaphoreType.DMA],
+                **({"compiler_params": pltpu.CompilerParams(
+                    vmem_limit_bytes=vmem_limit)} if vmem_limit else {}),
                 interpret=interpret,
             )(Ap, Bp)
         else:
