@@ -238,6 +238,7 @@ def main():
         fused_nb=int(env("BENCH_NB", 64)),
         fused_block=int(env("BENCH_BS", 4)),
         panel_nb=int(env("BENCH_PANEL_NB", 128)),
+        split_bs=int(env("BENCH_SPLIT_BS", 4)),
         panel_gj_bs=int(env("BENCH_GJBS", 16)),
         coef_windows=env("BENCH_COEF_WINDOWS", "1") == "1",
         matmul_precision=env("BENCH_PREC", "high"),

@@ -270,6 +270,13 @@ class SLODConfig:
                                       # moves nb^2-sized passes per chain
                                       # step; 64 measured ~5% faster than
                                       # 128 at bs=4, n=729)
+    split_bs: int = 4                 # fused_split leaf batching: patches
+                                      # per solve-kernel instance (shares
+                                      # the factor's scalar chain; raises
+                                      # the scoped-VMEM limit above 1).
+                                      # Measured at 3D elasticity refine=3:
+                                      # 1 -> 411.3, 4 -> 445.0, 8 -> 444.7
+                                      # patches/s (saturates at 4)
     panel_nb: int = 128               # panel/split solver block size: the
                                       # panel LDL^T's trailing-update matmul
                                       # width and the Schur split's

@@ -776,7 +776,8 @@ class BasisKernels:
                     gj_bs=self.cfg.panel_gj_bs)
             elif solver_mode == "fused_split":
                 Ainv_PT, T_raw = fused_spd_multirhs_split(
-                    A_solve, PT_m, nb=self.cfg.panel_nb)
+                    A_solve, PT_m, nb=self.cfg.panel_nb,
+                    bs=self.cfg.split_bs)
             else:
                 Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m,
                                                     nb=self.cfg.fused_nb,

@@ -534,13 +534,19 @@ def _fused_kernel(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, x_ref, y_ref,
         t_ref[i] = acc
 
 
-@partial(jax.jit, static_argnames=("nb", "interpret"))
+@partial(jax.jit, static_argnames=("nb", "bs", "interpret"))
 def spd_multirhs_solve_dma(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
+                           bs: int = 1,
                            interpret: bool | None = None) -> jnp.ndarray:
-    """Solve-only fused kernel (no T), bs=1, all operands in HBM via manual
+    """Solve-only fused kernel (no T), all operands in HBM via manual
     DMA — the building block of `fused_spd_multirhs_split` where the RHS is
     a wide (n, ~n/2 + k) block that exceeds the pipelined-BlockSpec VMEM
-    budget.  A (P, n, n) SPD, B (P, n, k) -> X = A^-1 B."""
+    budget.  A (P, n, n) SPD, B (P, n, k) -> X = A^-1 B.
+
+    ``bs`` patches per kernel instance share the factor's length-n scalar
+    chain (the latency wall); above bs=1 the scratch residency exceeds the
+    default 16M scoped-VMEM limit and is raised via CompilerParams (v5e:
+    128M physical)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -550,31 +556,41 @@ def spd_multirhs_solve_dma(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     n = -(-n0 // nb) * nb
     k = -(-k0 // 128) * 128
     n_blocks = n // nb
-    Ap = jnp.zeros((P, n, n), dt)
-    Ap = Ap.at[:, :n0, :n0].set(A)
-    if n != n0:
+    Pp = -(-P // bs) * bs
+    Ap = jnp.zeros((Pp, n, n), dt)
+    Ap = Ap.at[:P, :n0, :n0].set(A)
+    if n != n0 or Pp != P:
         pad_diag = jnp.where(jnp.arange(n) >= n0, 1.0, 0.0).astype(dt)
         Ap = Ap + jnp.diag(pad_diag)[None]
-    Bp = jnp.zeros((P, n, k), dt).at[:, :n0, :k0].set(B)
+        if Pp != P:
+            lead_eye = jnp.diag(
+                jnp.where(jnp.arange(n) < n0, 1.0, 0.0).astype(dt))
+            Ap = Ap.at[P:].add(lead_eye[None])
+    Bp = jnp.zeros((Pp, n, k), dt).at[:P, :n0, :k0].set(B)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if interpret:
         # CPU/debug path: plain solve (the DMA kernel is TPU-only)
-        return jnp.linalg.solve(Ap, Bp)[:, :n0, :k0]
+        return jnp.linalg.solve(Ap, Bp)[:P, :n0, :k0]
+    scratch_bytes = dt.itemsize * bs * (n * n + n * k)
+    vmem_limit = (min(int(scratch_bytes * 1.3), 110 * 2 ** 20)
+                  if scratch_bytes * 1.3 > 16 * 2 ** 20 else None)
     X = pl.pallas_call(
-        partial(_fused_kernel_ldl_dma_nt, pl, pltpu, nb, n_blocks, 1),
-        grid=(P,),
+        partial(_fused_kernel_ldl_dma_nt, pl, pltpu, nb, n_blocks, bs),
+        grid=(Pp // bs,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((P, n, k), dt),
-        scratch_shapes=[pltpu.VMEM((1, n, n), dt),
-                        pltpu.VMEM((1, n, k), dt),
+        out_shape=jax.ShapeDtypeStruct((Pp, n, k), dt),
+        scratch_shapes=[pltpu.VMEM((bs, n, n), dt),
+                        pltpu.VMEM((bs, n, k), dt),
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
+        **({"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit)} if vmem_limit else {}),
     )(Ap, Bp)
-    return X[:, :n0, :k0]
+    return X[:P, :n0, :k0]
 
 
 # scoped-VMEM budget for one solve-only DMA call: scratch A (4 n^2) +
@@ -589,15 +605,17 @@ def _solve_fits(n: int, k: int, nb: int) -> bool:
     return 4 * (np_ * np_ + np_ * kp) <= _SOLVE_VMEM_BUDGET
 
 
-def _solve_rec(A: jnp.ndarray, B: jnp.ndarray, nb: int) -> jnp.ndarray:
+def _solve_rec(A: jnp.ndarray, B: jnp.ndarray, nb: int,
+               bs: int = 1) -> jnp.ndarray:
     """Solve-only A^-1 B with recursive 2x2 block-Cholesky (Schur) splits
     until each sub-solve fits the VMEM budget.  Exact algebra; the Schur
     formation / back-substitution are batched MXU matmuls at the XLA
-    level."""
+    level.  ``bs`` batches patches per leaf-kernel instance (shared factor
+    chain; scoped-VMEM limit raised inside the leaf as needed)."""
     P, n0, _ = A.shape
     k0 = B.shape[-1]
     if _solve_fits(n0, k0, nb):
-        return spd_multirhs_solve_dma(A, B, nb=nb)
+        return spd_multirhs_solve_dma(A, B, nb=nb, bs=bs)
     # largest leading block whose (A11, [A12 | B1]) call fits
     n1 = 0
     for cand in range(nb, n0, nb):
@@ -607,24 +625,26 @@ def _solve_rec(A: jnp.ndarray, B: jnp.ndarray, nb: int) -> jnp.ndarray:
         # RHS too wide even for the smallest block: split the RHS columns
         half = -(-k0 // 256) * 128
         return jnp.concatenate(
-            [_solve_rec(A, B[:, :, :half], nb),
-             _solve_rec(A, B[:, :, half:], nb)], axis=-1)
+            [_solve_rec(A, B[:, :, :half], nb, bs),
+             _solve_rec(A, B[:, :, half:], nb, bs)], axis=-1)
     A11 = A[:, :n1, :n1]
     A12 = A[:, :n1, n1:]
     A22 = A[:, n1:, n1:]
-    U = _solve_rec(A11, jnp.concatenate([A12, B[:, :n1, :]], axis=-1), nb)
+    U = _solve_rec(A11, jnp.concatenate([A12, B[:, :n1, :]], axis=-1), nb,
+                   bs)
     n2 = n0 - n1
     U_A = U[:, :, :n2]                       # A11^-1 A12
     U_B = U[:, :, n2:]                       # A11^-1 B1
     S = A22 - jnp.einsum("bji,bjk->bik", A12, U_A)
     Y = B[:, n1:, :] - jnp.einsum("bji,bjk->bik", A12, U_B)
-    X2 = _solve_rec(S, Y, nb)
+    X2 = _solve_rec(S, Y, nb, bs)
     X1 = U_B - jnp.einsum("bik,bkj->bij", U_A, X2)
     return jnp.concatenate([X1, X2], axis=1)
 
 
-@partial(jax.jit, static_argnames=("nb",))
-def fused_spd_multirhs_split(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128):
+@partial(jax.jit, static_argnames=("nb", "bs"))
+def fused_spd_multirhs_split(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
+                             bs: int = 1):
     """Fused SPD multi-RHS solve + triple product for matrices too large for
     one VMEM residency (3D elasticity: n = 3 * 729 = 2187 -> ~21 MB), by
     exact recursive 2x2 block-Cholesky (Schur-complement) splits:
@@ -637,7 +657,7 @@ def fused_spd_multirhs_split(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128):
     Same contract as `fused_spd_multirhs`: returns (X = A^-1 B,
     T = B^T A^-1 B).  Replaces the reference's whole-patch Amesos KLU solve
     (include/LODtools.h:511-595) at elasticity sizes."""
-    X = _solve_rec(A, B, nb)
+    X = _solve_rec(A, B, nb, bs)
     T = jnp.einsum("bik,bij->bkj", B, X)
     return X, 0.5 * (T + jnp.swapaxes(T, -1, -2))
 

@@ -174,8 +174,9 @@ def test_panel_knobs_reach_the_kernel(monkeypatch):
         seen["panel"] = (nb, gj_bs)
         return ps.fused_spd_multirhs(A, B, interpret=True)
 
-    def fake_split(A, B, nb=128):
+    def fake_split(A, B, nb=128, bs=1):
         seen["split"] = nb
+        seen["split_bs"] = bs
         return ps.fused_spd_multirhs(A, B, interpret=True)
 
     monkeypatch.setattr(ps, "panel_spd_multirhs", fake_panel)
@@ -183,10 +184,12 @@ def test_panel_knobs_reach_the_kernel(monkeypatch):
     kw = dict(dim=2, n_global_refinements=3, n_subdivisions=2,
               oversampling=1, lod_stabilization=False,
               constant_coefficients=True, rhs="1", bc="0", dtype="float64",
-              write_output=False, panel_nb=256, panel_gj_bs=32)
+              write_output=False, panel_nb=256, panel_gj_bs=32,
+              split_bs=2)
     for mode, key in (("panel", "panel"), ("fused_split", "split")):
         cfg = SLODConfig(**kw, patch_solver=mode)
         s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
         s.compute_basis()
     assert seen["panel"] == (256, 32)
     assert seen["split"] == 256
+    assert seen["split_bs"] == 2
