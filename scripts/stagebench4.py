@@ -105,7 +105,8 @@ with jax.default_matmul_precision(cfg.matmul_precision):
         sv = lambda a, b: panel_spd_multirhs(a, b, nb=cfg.panel_nb,
                                              gj_bs=cfg.panel_gj_bs)
     elif mode == "fused_split":
-        sv = lambda a, b: fused_spd_multirhs_split(a, b, nb=cfg.panel_nb)
+        sv = lambda a, b: fused_spd_multirhs_split(a, b, nb=cfg.panel_nb,
+                                                   bs=cfg.split_bs)
     else:
         sv = lambda a, b: fused_spd_multirhs(a, b, nb=cfg.fused_nb,
                                              bs=cfg.fused_block,
