@@ -395,10 +395,18 @@ def gj_inverse_pallas(A: jnp.ndarray, bs: int = 16,
     B0, n0, _ = A.shape
     dt = A.dtype
     n = -(-n0 // 128) * 128
-    # VMEM guard: the pipelined in+out blocks double-buffer (~3 residencies
-    # of bs*n^2 floats); shrink bs for large blocks (e.g. the 384-dof
-    # elasticity coarse matrices at the default bs=16 would need 18 MB)
-    bs = min(bs, max(1, int(12e6 / (28 * n * n))), B0)
+    # VMEM: the pipelined in+out blocks double-buffer (4 residencies of
+    # bs*n^2 floats) plus the sweep's row/col temporaries.  Rather than
+    # clamping bs to the default 16M scoped limit (the old 12e6/28 guard
+    # landed bs=26 at n=128 — 15 sequential grid instances for the
+    # elasticity Gram pivots), raise the limit via CompilerParams up to
+    # a 48M budget; every instance halved is half the sequential
+    # nb-step chains.
+    bpe = dt.itemsize
+    bs = min(bs, max(1, int(48e6 / (6 * n * n * bpe))), B0)
+    resid = 6 * bs * n * n * bpe
+    vmem_limit = (min(int(resid * 1.2), 100 * 2 ** 20)
+                  if resid * 1.2 > 16 * 2 ** 20 else None)
     B = -(-B0 // bs) * bs
     Ap = jnp.zeros((B, n, n), dt)
     Ap = Ap.at[:B0, :n0, :n0].set(A)
@@ -417,6 +425,8 @@ def gj_inverse_pallas(A: jnp.ndarray, bs: int = 16,
         in_specs=[spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((B, n, n), dt),
+        **({"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit)} if vmem_limit else {}),
         interpret=interpret,
     )(Ap)
     return out[:B0, :n0, :n0]
