@@ -236,20 +236,39 @@ def bands_to_dense_mm(band: jnp.ndarray, P, shift: int, nN: int
     matrix) and the dense matrix is a single contiguous flat slice of the
     (nN, nN+1) result.  ``P, shift, nN`` from `band_placement_matrix`."""
     _, O, C, _ = band.shape
-    Pj = jnp.asarray(P, band.dtype)
     # HIGHEST: the placement matmul is pure data movement (P is 0/1) and
     # must not round the band values through bf16 MXU inputs
     hi = jax.lax.Precision.HIGHEST
     if C == 1:
+        Pj = jnp.asarray(P, band.dtype)
         B = jnp.einsum("no,ow->nw", band[:, :, 0, 0], Pj,
                        precision=hi)                  # (nN, nN+1)
         return B.reshape(-1)[shift:shift + nN * nN].reshape(nN, nN)
-    # per component pair: a C=1-style embedding, then block interleave
-    M = jnp.einsum("nocd,ow->cdnw", band, Pj,
-                   precision=hi)                      # (C, C, nN, nN+1)
-    F = M.reshape(C, C, -1)[:, :, shift:shift + nN * nN]
-    F = F.reshape(C, C, nN, nN)
-    return jnp.transpose(F, (2, 0, 3, 1)).reshape(nN * C, nN * C)
+    # C > 1: the SAME banded-stride trick on the component-interleaved
+    # matrix.  Row group i (its C dense rows) is one width-C*(W+1) buffer
+    # row: entry ((i, c), (i + delta_o, d)) sits at dense flat position
+    # i*C*(W+1) + c*W + delta_o*C + d, so placing (o, c, d) at buffer
+    # column c*W + (s_o + shift)*C + d and flat-slicing [shift*C :] IS
+    # the dense matrix.  (The previous form built (C, C, nN, nN) and
+    # TRANSPOSED to (nN, C, nN, C) — a minor-dim-C layout whose T(8,128)
+    # tile padding is a 128/C x expansion wherever XLA materializes it:
+    # measured 16 GB (64x) at the 2D coarse embed (P=4096, C=2),
+    # an HBM OOM.)  Wrap-around placements carry zero band values
+    # (off-grid neighbors), exactly as in the C = 1 path.
+    W = nN * C
+    Pn = np.asarray(P)
+    cols = np.argmax(Pn, axis=1)                      # s_o + shift per o
+    P2 = np.zeros((O * C * C, C * (W + 1)), np.float32)
+    for o in range(O):
+        if Pn[o].max() == 0:                          # unused offset row
+            continue
+        for c in range(C):
+            for d in range(C):
+                P2[(o * C + c) * C + d, c * W + int(cols[o]) * C + d] = 1.0
+    B = jnp.einsum("nx,xw->nw", band.reshape(-1, O * C * C),
+                   jnp.asarray(P2, band.dtype), precision=hi)
+    flat = B.reshape(-1)[shift * C:shift * C + nN * C * W]
+    return flat.reshape(nN * C, W)
 
 
 def _stencil_trace_kernel(nN, C, offs_ref, b_ref, x_ref, o_ref):

@@ -297,6 +297,18 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
     B0 = G.shape[0]
     block = min(block, B0)   # also makes the wrapper vmap-friendly (B0=1)
     B = -(-B0 // block) * block
+    # This kernel keeps its FULL operands + results VMEM-resident
+    # (memory_space=VMEM full-array specs — the whole point: rounds never
+    # touch HBM).  The T(8,128) tile padding amplifies small trailing
+    # dims (the 2D elasticity Grams (512, 25, 50) pad 2.56M -> 8.39M per
+    # array), so the 2-in + 2-out residency can exceed the DEFAULT 16M
+    # scoped-VMEM limit (measured 22.7M after one batch halving).  Raise
+    # the limit to the actual residency — a compiler default, not a
+    # hardware bound (v5e: 128M physical).
+    pad_bytes = (B * (-(-(n // 2) // 8) * 8) * (-(-n // 128) * 128)
+                 * G.dtype.itemsize)
+    need = int(4 * pad_bytes * 1.25) + 8 * 2 ** 20
+    vmem_limit = min(need, 110 * 2 ** 20) if need > 16 * 2 ** 20 else None
     if n != n0 or B != B0:
         Gp = jnp.zeros((B, n, n), G.dtype)
         G = Gp.at[:B0, :n0, :n0].set(G)
@@ -368,6 +380,8 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
         out_specs=(spec,) * 2,
         out_shape=tuple(jax.ShapeDtypeStruct((B, m, n), G.dtype)
                         for _ in range(2)),
+        **({"compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit)} if vmem_limit else {}),
         interpret=not on_tpu,
     )(XT0, XB0)
     XT, XB = (o[:B0] for o in out)
