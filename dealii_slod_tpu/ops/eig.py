@@ -307,8 +307,12 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
     # hardware bound (v5e: 128M physical).
     pad_bytes = (B * (-(-(n // 2) // 8) * 8) * (-(-n // 128) * 128)
                  * G.dtype.itemsize)
-    need = int(4 * pad_bytes * 1.25) + 8 * 2 ** 20
-    vmem_limit = min(need, 110 * 2 ** 20) if need > 16 * 2 ** 20 else None
+    resid = int(4 * pad_bytes * 1.25)
+    # fire only when the residency itself exceeds the default limit —
+    # shapes that fit today (e.g. the 3D W-stage (384, 16, 32)) keep
+    # their kernel byte-identical for the compile cache
+    vmem_limit = (min(resid + 8 * 2 ** 20, 110 * 2 ** 20)
+                  if resid > 16 * 2 ** 20 else None)
     if n != n0 or B != B0:
         Gp = jnp.zeros((B, n, n), G.dtype)
         G = Gp.at[:B0, :n0, :n0].set(G)
