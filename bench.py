@@ -235,6 +235,8 @@ def main():
         smallk_dirs=int(env("BENCH_SMALLK", 32)),
         smallk_power=int(env("BENCH_POWER", 3)),
         fused_algo=env("BENCH_ALGO", "ldl"),
+        solver_gj2=env("BENCH_GJ2", "0") == "1",
+        trace_impl=env("BENCH_TRACE_IMPL", "slice"),
         fused_nb=int(env("BENCH_NB", 64)),
         fused_block=int(env("BENCH_BS", 4)),
         panel_nb=int(env("BENCH_PANEL_NB", 128)),

@@ -291,6 +291,14 @@ class SLODConfig:
                                       # shared across the instance batch) or
                                       # "chol" (blocked Cholesky, per-patch
                                       # masked factor loops)
+    solver_gj2: bool = False          # 2x2-pivot Gauss-Jordan sweep inside
+                                      # the fused/split solve kernels: half
+                                      # the sequential chain steps at ~1.7x
+                                      # per-step work (exact algebra)
+    trace_impl: str = "slice"         # Pallas trace-kernel shifted-window
+                                      # read: "slice" (dynamic-start sublane
+                                      # slice) or "roll" (hardware sublane
+                                      # rotate + aligned static slice)
     trace_kernel: str = "auto"        # SLOD boundary-trace product S = A X:
                                       # "auto" (VMEM-resident Pallas stencil
                                       # kernel whenever C > 1 — the C=1 scan

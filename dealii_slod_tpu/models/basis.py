@@ -610,7 +610,8 @@ class BasisKernels:
             Xp = jnp.pad(Xc, ((0, 0), (0, 0), (shiftN, shiftN), (0, 0)))
             S = stencil_trace_pallas(
                 band_B, Xp, shiftN, tuple(int(o) for o in offs_flat_np),
-                interpret=interpret)                       # (B, C, nN, k)
+                interpret=interpret,
+                impl=cfg.trace_impl)                       # (B, C, nN, k)
             S = jnp.transpose(S, (0, 2, 1, 3)).reshape(B, nD, k)
             _, is99 = jax.vmap(edge_masks)(nlo_B, nhi_B, sides_B)
             is99d = jnp.repeat(is99, C, axis=-1).astype(dt)
@@ -777,12 +778,13 @@ class BasisKernels:
             elif solver_mode == "fused_split":
                 Ainv_PT, T_raw = fused_spd_multirhs_split(
                     A_solve, PT_m, nb=self.cfg.panel_nb,
-                    bs=self.cfg.split_bs)
+                    bs=self.cfg.split_bs, gj2=self.cfg.solver_gj2)
             else:
                 Ainv_PT, T_raw = fused_spd_multirhs(A_solve, PT_m,
                                                     nb=self.cfg.fused_nb,
                                                     bs=bs,
-                                                    algo=algo)
+                                                    algo=algo,
+                                                    gj2=self.cfg.solver_gj2)
             eye = jnp.eye(cvd.shape[-1], dtype=self.dtype)
             T = T_raw / Hdim + eye * (1.0 - cvd)[:, None, :]
             # A_rows_I flows through HBM to the trace/premultiply stages

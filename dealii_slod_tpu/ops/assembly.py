@@ -311,10 +311,43 @@ def _stencil_trace_kernel(nN, C, offs_ref, b_ref, x_ref, o_ref):
             o_ref[0, c] = o_ref[0, c] + acc
 
 
-@partial(jax.jit, static_argnames=("shiftN", "offs_flat", "interpret"))
+def _stencil_trace_kernel_roll(nN, nNp, C, offs_ref, b_ref, x_ref, o_ref):
+    """`_stencil_trace_kernel` with the dynamic-slice rotation copy replaced
+    by a hardware sublane rotate (`pltpu.roll`) + leading (aligned) static
+    slice: output rows [0:nN] of roll(X, nNp - s0) are exactly
+    X[s0:s0 + nN] (the window never wraps — s0 + nN <= nNp by the shiftN
+    padding).  Mosaic lowers the dynamic-start sublane slice through a
+    shift-and-mask path that measured ~60 ms/chunk at the 3D elasticity
+    shape (ROADMAP round-4 close); the rotate is a full-throughput
+    permute."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    o = pl.program_id(2)
+    s0 = offs_ref[o]
+    xs = [pltpu.roll(x_ref[0, d], nNp - s0, axis=0)[:nN, :]
+          for d in range(C)]
+    for c in range(C):
+        acc = None
+        for d in range(C):
+            cd = c * C + d
+            t = b_ref[0, 0, :, cd:cd + 1] * xs[d]
+            acc = t if acc is None else acc + t
+
+        @pl.when(o == 0)
+        def _(acc=acc, c=c):
+            o_ref[0, c] = acc
+
+        @pl.when(o > 0)
+        def _(acc=acc, c=c):
+            o_ref[0, c] = o_ref[0, c] + acc
+
+
+@partial(jax.jit, static_argnames=("shiftN", "offs_flat", "interpret",
+                                   "impl"))
 def stencil_trace_pallas(band: jnp.ndarray, Xp: jnp.ndarray, shiftN: int,
-                         offs_flat: tuple, interpret: bool | None = None
-                         ) -> jnp.ndarray:
+                         offs_flat: tuple, interpret: bool | None = None,
+                         impl: str = "slice") -> jnp.ndarray:
     """Batched banded stencil product S = A_patch @ X for C > 1 patches:
     S[b, c, n, :] = sum_{o, d} band[b, n, o, c, d] * Xp[b, d, n+off_o, :].
 
@@ -370,8 +403,11 @@ def stencil_trace_pallas(band: jnp.ndarray, Xp: jnp.ndarray, shiftN: int,
         out_specs=pl.BlockSpec((1, C, nN, kt),
                                lambda b, j, o, offs_r: (b, 0, 0, j)),
     )
+    kern = (partial(_stencil_trace_kernel_roll, nN, nNp, C)
+            if impl == "roll" and not interpret
+            else partial(_stencil_trace_kernel, nN, C))
     out = pl.pallas_call(
-        partial(_stencil_trace_kernel, nN, C),
+        kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, C, nN, kp), dt),
         interpret=interpret,

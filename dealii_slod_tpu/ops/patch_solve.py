@@ -126,6 +126,53 @@ def _gj_invert_spd(M, nb, bs):
     return -jax.lax.fori_loop(0, nb, step, M)
 
 
+def _gj_invert_spd2(M, nb, bs):
+    """`_gj_invert_spd` with 2x2 pivot BLOCKS: half the sequential sweep
+    steps at ~1.7x the per-step elementwise work.  Inside the fused solve
+    kernels the (bs, nb, nb) sweep operands are small (bs <= 4) and the
+    chain is LATENCY-bound, so halving the step count wins there — unlike
+    the standalone large-batch regime (2048, 125, 125) where the same
+    transformation measured flat-to-slower (throughput-bound; ROADMAP r3
+    dead ends).  The 2x2 pivot P = [[a, b], [b, c]] is inverted in closed
+    form; SPD principal minors keep det = a c - b^2 > 0 under sweeps, so
+    no pivoting is needed (same argument as the scalar sweep).  Requires
+    even nb (the kernels use nb in {64, 128})."""
+    assert nb % 2 == 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bs, nb, nb), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bs, nb, nb), 2)
+    c1 = jax.lax.broadcasted_iota(jnp.int32, (bs, 1, nb), 2)
+
+    def step(k2, M):
+        k = 2 * k2
+        col0 = jnp.sum(jnp.where(cols == k, M, 0.0), axis=2, keepdims=True)
+        col1 = jnp.sum(jnp.where(cols == k + 1, M, 0.0), axis=2,
+                       keepdims=True)
+        row0 = jnp.sum(jnp.where(rows == k, M, 0.0), axis=1, keepdims=True)
+        row1 = jnp.sum(jnp.where(rows == k + 1, M, 0.0), axis=1,
+                       keepdims=True)
+        a = jnp.sum(jnp.where(c1 == k, row0, 0.0), axis=2, keepdims=True)
+        b = jnp.sum(jnp.where(c1 == k + 1, row0, 0.0), axis=2, keepdims=True)
+        c = jnp.sum(jnp.where(c1 == k + 1, row1, 0.0), axis=2, keepdims=True)
+        idet = 1.0 / (a * c - b * b)
+        cp0 = (col0 * c - col1 * b) * idet        # [col0 col1] @ Pi, col 0
+        cp1 = (col1 * a - col0 * b) * idet
+        pr0 = (row0 * c - row1 * b) * idet        # Pi @ [row0; row1], row 0
+        pr1 = (row1 * a - row0 * b) * idet
+        Mn = M - cp0 * row0 - cp1 * row1
+        Mn = jnp.where(cols == k, cp0, Mn)
+        Mn = jnp.where(cols == k + 1, cp1, Mn)
+        # row writes last: they carry the -Pi pivot block (Pi @ rows would
+        # put the identity there), overriding the column writes' pivot rows
+        pr0 = jnp.where(c1 == k, -c * idet, jnp.where(c1 == k + 1, b * idet,
+                                                      pr0))
+        pr1 = jnp.where(c1 == k, b * idet, jnp.where(c1 == k + 1, -a * idet,
+                                                     pr1))
+        Mn = jnp.where(rows == k, pr0, Mn)
+        return jnp.where(rows == k + 1, pr1, Mn)
+
+    return -jax.lax.fori_loop(0, nb // 2, step, M)
+
+
 def _fused_kernel_ldl_noalias(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref,
                               t_ref):
     """No-aliasing variant: copies the inputs into the output refs in VMEM
@@ -136,19 +183,20 @@ def _fused_kernel_ldl_noalias(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref,
     _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_ref, b_ref, t_ref)
 
 
-def _fused_kernel_ldl_scratch(nb, n_blocks, bs, a_in, b_in, x_ref, t_ref,
-                              a_scr):
+def _fused_kernel_ldl_scratch(nb, n_blocks, bs, gj2, a_in, b_in, x_ref,
+                              t_ref, a_scr):
     """Scratch-workspace variant: the factor runs on a VMEM scratch copy of
     A (the L panels are never an output — the pipeline only consumes X and
     T), and the RHS evolves in place in the X output ref.  No aliasing, no
     (P, n, n) factor writeback to HBM."""
     a_scr[:] = a_in[:]
     x_ref[:] = b_in[:]
-    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_ref, t_ref)
+    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_ref, t_ref,
+                      gj2=gj2)
 
 
-def _fused_kernel_ldl_dma(pl, pltpu, nb, n_blocks, bs, a_hbm, b_in, x_ref,
-                          t_ref, a_scr, sem):
+def _fused_kernel_ldl_dma(pl, pltpu, nb, n_blocks, bs, gj2, a_hbm, b_in,
+                          x_ref, t_ref, a_scr, sem):
     """Manual-DMA variant for bs > 1: A stays in HBM (``memory_space=ANY``)
     and the instance's (bs, n, n) slab is DMA'd straight into the single
     VMEM scratch — without this, the pipeline double-buffers the A block on
@@ -160,11 +208,12 @@ def _fused_kernel_ldl_dma(pl, pltpu, nb, n_blocks, bs, a_hbm, b_in, x_ref,
     cp.start()
     x_ref[:] = b_in[:]
     cp.wait()
-    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_ref, t_ref)
+    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_ref, t_ref,
+                      gj2=gj2)
 
 
-def _fused_kernel_ldl_dma2(pl, pltpu, nb, n_blocks, bs, a_hbm, b_hbm, x_hbm,
-                           t_ref, a_scr, x_scr, sem_a, sem_b, sem_x):
+def _fused_kernel_ldl_dma2(pl, pltpu, nb, n_blocks, bs, gj2, a_hbm, b_hbm,
+                           x_hbm, t_ref, a_scr, x_scr, sem_a, sem_b, sem_x):
     """Full-DMA variant for bs >= 4: A, B *and* X all stay in HBM
     (``memory_space=ANY``) and move via explicit copies into/out of single
     VMEM scratch buffers.  The pipelined BlockSpec path double-buffers every
@@ -178,13 +227,14 @@ def _fused_kernel_ldl_dma2(pl, pltpu, nb, n_blocks, bs, a_hbm, b_hbm, x_hbm,
     cpb.start()
     cpa.wait()
     cpb.wait()
-    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_scr, t_ref)
+    _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_scr, t_ref,
+                      gj2=gj2)
     cpx = pltpu.make_async_copy(x_scr, x_hbm.at[pl.ds(i * bs, bs)], sem_x)
     cpx.start()
     cpx.wait()
 
 
-def _fused_kernel_ldl_dma_nt(pl, pltpu, nb, n_blocks, bs, a_hbm, b_hbm,
+def _fused_kernel_ldl_dma_nt(pl, pltpu, nb, n_blocks, bs, gj2, a_hbm, b_hbm,
                              x_hbm, a_scr, x_scr, sem_a, sem_b, sem_x):
     """Solve-only full-DMA variant (no T output): used by the split Schur
     path where the RHS block is wide (k ~ n/2) and a (k, k) T would not fit
@@ -197,14 +247,14 @@ def _fused_kernel_ldl_dma_nt(pl, pltpu, nb, n_blocks, bs, a_hbm, b_hbm,
     cpa.wait()
     cpb.wait()
     _fused_kernel_ldl(nb, n_blocks, bs, None, None, a_scr, x_scr, None,
-                      col_blocked=True)
+                      col_blocked=True, gj2=gj2)
     cpx = pltpu.make_async_copy(x_scr, x_hbm.at[pl.ds(i * bs, bs)], sem_x)
     cpx.start()
     cpx.wait()
 
 
 def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref,
-                      col_blocked=False):
+                      col_blocked=False, gj2=False):
     """Block-LDL^T fused factor + multi-RHS solve + triple product.
 
     A = L D L^T with unit-diagonal block lower L and SPD diagonal blocks D;
@@ -222,11 +272,12 @@ def _fused_kernel_ldl(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, t_ref,
     """
     del a_in, b_in
     n = nb * n_blocks
+    gj = _gj_invert_spd2 if gj2 else _gj_invert_spd
 
     # ---- forward: factor, z = L^-1 B, w = D^-1 z, T accumulation ----
     for j in range(n_blocks):
         j0, j1 = j * nb, (j + 1) * nb
-        Dinv = _gj_invert_spd(a_ref[:, j0:j1, j0:j1], nb, bs)
+        Dinv = gj(a_ref[:, j0:j1, j0:j1], nb, bs)
         for i in range(bs):
             zj = b_ref[i, j0:j1, :]                    # (nb, k)
             wj = _mm(Dinv[i], zj)                      # D_j^-1 z_j
@@ -544,10 +595,10 @@ def _fused_kernel(nb, n_blocks, bs, a_in, b_in, a_ref, b_ref, x_ref, y_ref,
         t_ref[i] = acc
 
 
-@partial(jax.jit, static_argnames=("nb", "bs", "interpret"))
+@partial(jax.jit, static_argnames=("nb", "bs", "interpret", "gj2"))
 def spd_multirhs_solve_dma(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
-                           bs: int = 1,
-                           interpret: bool | None = None) -> jnp.ndarray:
+                           bs: int = 1, interpret: bool | None = None,
+                           gj2: bool = False) -> jnp.ndarray:
     """Solve-only fused kernel (no T), all operands in HBM via manual
     DMA — the building block of `fused_spd_multirhs_split` where the RHS is
     a wide (n, ~n/2 + k) block that exceeds the pipelined-BlockSpec VMEM
@@ -586,7 +637,8 @@ def spd_multirhs_solve_dma(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     vmem_limit = (min(int(scratch_bytes * 1.3), 110 * 2 ** 20)
                   if scratch_bytes * 1.3 > 16 * 2 ** 20 else None)
     X = pl.pallas_call(
-        partial(_fused_kernel_ldl_dma_nt, pl, pltpu, nb, n_blocks, bs),
+        partial(_fused_kernel_ldl_dma_nt, pl, pltpu, nb, n_blocks, bs,
+                gj2),
         grid=(Pp // bs,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.ANY)],
@@ -616,7 +668,7 @@ def _solve_fits(n: int, k: int, nb: int) -> bool:
 
 
 def _solve_rec(A: jnp.ndarray, B: jnp.ndarray, nb: int,
-               bs: int = 1) -> jnp.ndarray:
+               bs: int = 1, gj2: bool = False) -> jnp.ndarray:
     """Solve-only A^-1 B with recursive 2x2 block-Cholesky (Schur) splits
     until each sub-solve fits the VMEM budget.  Exact algebra; the Schur
     formation / back-substitution are batched MXU matmuls at the XLA
@@ -625,7 +677,7 @@ def _solve_rec(A: jnp.ndarray, B: jnp.ndarray, nb: int,
     P, n0, _ = A.shape
     k0 = B.shape[-1]
     if _solve_fits(n0, k0, nb):
-        return spd_multirhs_solve_dma(A, B, nb=nb, bs=bs)
+        return spd_multirhs_solve_dma(A, B, nb=nb, bs=bs, gj2=gj2)
     # largest leading block whose (A11, [A12 | B1]) call fits
     n1 = 0
     for cand in range(nb, n0, nb):
@@ -635,26 +687,26 @@ def _solve_rec(A: jnp.ndarray, B: jnp.ndarray, nb: int,
         # RHS too wide even for the smallest block: split the RHS columns
         half = -(-k0 // 256) * 128
         return jnp.concatenate(
-            [_solve_rec(A, B[:, :, :half], nb, bs),
-             _solve_rec(A, B[:, :, half:], nb, bs)], axis=-1)
+            [_solve_rec(A, B[:, :, :half], nb, bs, gj2),
+             _solve_rec(A, B[:, :, half:], nb, bs, gj2)], axis=-1)
     A11 = A[:, :n1, :n1]
     A12 = A[:, :n1, n1:]
     A22 = A[:, n1:, n1:]
     U = _solve_rec(A11, jnp.concatenate([A12, B[:, :n1, :]], axis=-1), nb,
-                   bs)
+                   bs, gj2)
     n2 = n0 - n1
     U_A = U[:, :, :n2]                       # A11^-1 A12
     U_B = U[:, :, n2:]                       # A11^-1 B1
     S = A22 - jnp.einsum("bji,bjk->bik", A12, U_A)
     Y = B[:, n1:, :] - jnp.einsum("bji,bjk->bik", A12, U_B)
-    X2 = _solve_rec(S, Y, nb, bs)
+    X2 = _solve_rec(S, Y, nb, bs, gj2)
     X1 = U_B - jnp.einsum("bik,bkj->bij", U_A, X2)
     return jnp.concatenate([X1, X2], axis=1)
 
 
-@partial(jax.jit, static_argnames=("nb", "bs"))
+@partial(jax.jit, static_argnames=("nb", "bs", "gj2"))
 def fused_spd_multirhs_split(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
-                             bs: int = 1):
+                             bs: int = 1, gj2: bool = False):
     """Fused SPD multi-RHS solve + triple product for matrices too large for
     one VMEM residency (3D elasticity: n = 3 * 729 = 2187 -> ~21 MB), by
     exact recursive 2x2 block-Cholesky (Schur-complement) splits:
@@ -667,7 +719,7 @@ def fused_spd_multirhs_split(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     Same contract as `fused_spd_multirhs`: returns (X = A^-1 B,
     T = B^T A^-1 B).  Replaces the reference's whole-patch Amesos KLU solve
     (include/LODtools.h:511-595) at elasticity sizes."""
-    X = _solve_rec(A, B, nb, bs)
+    X = _solve_rec(A, B, nb, bs, gj2)
     T = jnp.einsum("bik,bij->bkj", B, X)
     return X, 0.5 * (T + jnp.swapaxes(T, -1, -2))
 
@@ -741,10 +793,11 @@ def panel_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     return X, 0.5 * (T + jnp.swapaxes(T, -1, -2))
 
 
-@partial(jax.jit, static_argnames=("nb", "bs", "interpret", "algo"))
+@partial(jax.jit, static_argnames=("nb", "bs", "interpret", "algo",
+                                    "gj2"))
 def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
                        bs: int = 1, interpret: bool | None = None,
-                       algo: str = "ldl"):
+                       algo: str = "ldl", gj2: bool = False):
     """Batched fused SPD factor + multi-RHS solve + triple product.
 
     A (P, n, n) SPD, B (P, n, k) -> (X = A^-1 B (P, n, k),
@@ -805,7 +858,7 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
         )
         if bs == 1 or interpret:
             X, T = pl.pallas_call(
-                partial(_fused_kernel_ldl_scratch, nb, n_blocks, bs),
+                partial(_fused_kernel_ldl_scratch, nb, n_blocks, bs, gj2),
                 grid=grid,
                 in_specs=[mat_spec, rhs_spec],
                 out_specs=(rhs_spec, t_spec),
@@ -829,7 +882,8 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
             vmem_limit = (min(int(scratch_bytes * 1.25), 100 * 2 ** 20)
                           if scratch_bytes * 1.25 > 16 * 2 ** 20 else None)
             X, T = pl.pallas_call(
-                partial(_fused_kernel_ldl_dma2, pl, pltpu, nb, n_blocks, bs),
+                partial(_fused_kernel_ldl_dma2, pl, pltpu, nb, n_blocks,
+                        bs, gj2),
                 grid=grid,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                           pl.BlockSpec(memory_space=pltpu.ANY)],
@@ -846,7 +900,8 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
             )(Ap, Bp)
         else:
             X, T = pl.pallas_call(
-                partial(_fused_kernel_ldl_dma, pl, pltpu, nb, n_blocks, bs),
+                partial(_fused_kernel_ldl_dma, pl, pltpu, nb, n_blocks,
+                        bs, gj2),
                 grid=grid,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), rhs_spec],
                 out_specs=(rhs_spec, t_spec),

@@ -193,3 +193,33 @@ def test_panel_knobs_reach_the_kernel(monkeypatch):
     assert seen["panel"] == (256, 32)
     assert seen["split"] == 256
     assert seen["split_bs"] == 2
+
+
+def test_gj2_sweep_matches_inv():
+    """2x2-pivot block sweep `_gj_invert_spd2` == matrix inverse (f64)."""
+    from dealii_slod_tpu.ops.patch_solve import _gj_invert_spd2
+
+    rng = np.random.default_rng(11)
+    bs, nb = 3, 32
+    M = rng.standard_normal((bs, nb, nb))
+    A = np.einsum("bik,bjk->bij", M, M) + nb * np.eye(nb)
+    Ainv = np.asarray(_gj_invert_spd2(jnp.asarray(A), nb, bs))
+    err = max(np.abs(Ainv[i] @ A[i] - np.eye(nb)).max() for i in range(bs))
+    assert err < 1e-9
+
+
+def test_fused_gj2_matches_dense_solve():
+    """fused_spd_multirhs(gj2=True) == dense solve (interpret on CPU)."""
+    from dealii_slod_tpu.ops.patch_solve import fused_spd_multirhs
+
+    rng = np.random.default_rng(12)
+    P, n, k = 4, 150, 9
+    M = rng.standard_normal((P, n, 24))
+    A = jnp.asarray(np.einsum("bik,bjk->bij", M, M) + 24 * np.eye(n))
+    B = jnp.asarray(rng.standard_normal((P, n, k)))
+    X, T = fused_spd_multirhs(A, B, nb=64, bs=2, gj2=True)
+    Xr = jnp.linalg.solve(A, B)
+    np.testing.assert_allclose(np.asarray(X), np.asarray(Xr), rtol=1e-8,
+                               atol=1e-10)
+    Tr = np.einsum("bik,bij->bkj", np.asarray(B), np.asarray(Xr))
+    np.testing.assert_allclose(np.asarray(T), Tr, rtol=1e-8, atol=1e-10)
