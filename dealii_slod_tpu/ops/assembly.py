@@ -325,6 +325,8 @@ def _stencil_trace_kernel_roll(nN, nNp, C, offs_ref, b_ref, x_ref, o_ref):
 
     o = pl.program_id(2)
     s0 = offs_ref[o]
+    # nNp is padded to a sublane multiple (8) by the caller: Mosaic's
+    # tpu.dynamic_rotate rejects unaligned sublane extents
     xs = [pltpu.roll(x_ref[0, d], nNp - s0, axis=0)[:nN, :]
           for d in range(C)]
     for c in range(C):
@@ -385,8 +387,10 @@ def stencil_trace_pallas(band: jnp.ndarray, Xp: jnp.ndarray, shiftN: int,
     while kt > 128 and 2 * C * (nNp + nN) * kt * bpe > 20e6:
         kt = max(128, (kt // 2) // 128 * 128)   # keep 128-lane divisibility
     kp = -(-k // kt) * kt
-    if kp != k:
-        Xp = jnp.pad(Xp, ((0, 0), (0, 0), (0, 0), (0, kp - k)))
+    nNq = -(-nNp // 8) * 8 if impl == "roll" else nNp
+    if kp != k or nNq != nNp:
+        Xp = jnp.pad(Xp, ((0, 0), (0, 0), (0, nNq - nNp), (0, kp - k)))
+    nNp = nNq
     offs = jnp.asarray([shiftN + int(f) for f in offs_flat], jnp.int32)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

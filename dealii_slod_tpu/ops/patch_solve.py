@@ -376,7 +376,7 @@ def _fused_kernel_ldl_pipe(pl, pltpu, nb, n_blocks, bs, a_hbm, b_hbm, x_hbm,
     cpx.wait()
 
 
-def _fused_kernel_ldlt_dma(pl, pltpu, nb, n_blocks, n, k, bs, ah_hbm,
+def _fused_kernel_ldlt_dma(pl, pltpu, nb, n_blocks, n, k, bs, gj2, ah_hbm,
                            xt_ref, scr, sem):
     """Stacked transposed-RHS LDL^T: the instance's working set is ONE
     (bs, n + k, n) buffer  Ahat = [[A], [B^T]].
@@ -403,9 +403,10 @@ def _fused_kernel_ldlt_dma(pl, pltpu, nb, n_blocks, n, k, bs, ah_hbm,
     cp.wait()
     m = n + k
 
+    gj = _gj_invert_spd2 if gj2 else _gj_invert_spd
     for j in range(n_blocks):
         j0, j1 = j * nb, (j + 1) * nb
-        Dinv = _gj_invert_spd(scr[:, j0:j1, j0:j1], nb, bs)
+        Dinv = gj(scr[:, j0:j1, j0:j1], nb, bs)
         for b in range(bs):
             colj = scr[b, j1:m, j0:j1]            # (m - j1, nb), raw
             W_all = _mm(colj, Dinv[b])            # [L_{>j,j} ; w_j^T]
@@ -946,7 +947,7 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
             Ah = jnp.concatenate([Ap, jnp.swapaxes(Bp, 1, 2)], axis=1)
             Xt = pl.pallas_call(
                 partial(_fused_kernel_ldlt_dma, pl, pltpu, nb, n_blocks,
-                        n, k, bs),
+                        n, k, bs, gj2),
                 grid=grid,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
                 out_specs=pl.BlockSpec((bs, k, n), lambda i: (i, 0, 0)),
