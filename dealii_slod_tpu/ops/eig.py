@@ -640,7 +640,13 @@ def smallk_truncated_dvec(G: jnp.ndarray, g0: jnp.ndarray, k: int = 32,
         Z = mgs_qr_pallas(jnp.einsum("bij,bjk->bik", Ginv, Z))
     W = jnp.einsum("bik,bij,bjl->bkl", Z, Gj, Z)
     W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
-    lw, U = jacobi_eigh_pallas(W, sweeps=small_sweeps, block=128)
+    # one kernel instance for the whole batch: the (n-1)*sweeps rotation
+    # rounds are op-issue-bound at k=32 (each round is ~20 small VPU ops
+    # regardless of batch width), so splitting the batch into 128-wide
+    # blocks multiplied the round count by ceil(B/128) for no VPU saving.
+    # The kernel raises its scoped-VMEM limit automatically above 16M.
+    lw, U = jacobi_eigh_pallas(W, sweeps=small_sweeps,
+                               block=min(W.shape[0], 1024))
     V = colnorm(jnp.einsum("bik,bkl->bil", Z, U))          # descending lam
     proj = jnp.einsum("bik,bi->bk", V, d0)                 # (B, k)
 

@@ -174,7 +174,7 @@ def test_panel_knobs_reach_the_kernel(monkeypatch):
         seen["panel"] = (nb, gj_bs)
         return ps.fused_spd_multirhs(A, B, interpret=True)
 
-    def fake_split(A, B, nb=128, bs=1):
+    def fake_split(A, B, nb=128, bs=1, gj2=False):
         seen["split"] = nb
         seen["split_bs"] = bs
         return ps.fused_spd_multirhs(A, B, interpret=True)
