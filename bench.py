@@ -190,6 +190,40 @@ def main():
     except Exception:
         pass
 
+    # The round MUST close with a parsed JSON line (VERDICT r4 #2: rounds
+    # 3 AND 4 closed rc=1 — tunnel outage, then a compile-time kernel
+    # exception that the old remote_compile-only retry did not catch).
+    # Degradation ladder: (1) the real config; (2) halved patch chunk
+    # (HBM-pressure class); (3) + XLA eig instead of the Pallas Jacobi
+    # kernel (the r4 failure class); (4) + full XLA patch solver (no
+    # custom Pallas anywhere — slow, but it is a *measured* number).
+    # Anything surviving all four replays the persisted BENCH_SELF.json
+    # marked stale.
+    import sys
+    import traceback
+    ladder = [
+        {},
+        {"chunk_div": 2},
+        {"chunk_div": 2, "eig_lax": True},
+        {"chunk_div": 2, "eig_lax": True, "solver_lax": True},
+    ]
+    last_err = None
+    for knobs in ladder:
+        try:
+            _run(**knobs)
+            return
+        except SystemExit:
+            raise
+        except Exception:
+            last_err = traceback.format_exc()
+            print(f"bench: attempt with knobs {knobs} failed:\n{last_err}",
+                  file=sys.stderr)
+    _emit_stale_or_exit(
+        "bench: all degraded attempts failed; last error:\n" + last_err)
+
+
+def _run(chunk_div: int = 1, eig_lax: bool = False,
+         solver_lax: bool = False):
     from dealii_slod_tpu.config import ReductionControl, SLODConfig
     from dealii_slod_tpu.models import DiffusionProblem, LODSolver
 
@@ -218,9 +252,17 @@ def main():
     # elasticity triples the per-patch component count; at the 3D refine-3
     # config chunk=256 exceeds the v5e's 15.75G HBM by ~37M (measured OOM,
     # r4 session) — halve the default there so the elasticity bench fits.
-    chunk = int(env("BENCH_CHUNK",
-                    128 if (problem == "elasticity" and dim == 3) else 256))
+    chunk = max(32, int(env("BENCH_CHUNK",
+                            128 if (problem == "elasticity" and dim == 3)
+                            else 256)) // chunk_div)
     reps = int(env("BENCH_REPS", 5))
+    degraded = []
+    if chunk_div > 1:
+        degraded.append(f"chunk/{chunk_div}")
+    if eig_lax:
+        degraded.append("eig_solver=lax")
+    if solver_lax:
+        degraded.append("patch_solver=lax")
 
     cfg = SLODConfig(
         dim=dim, n_global_refinements=refine, n_subdivisions=sub,
@@ -231,7 +273,8 @@ def main():
         coarse_solver=ReductionControl(500, 1e-6, 1e-6),
         eig_sweeps=int(env("BENCH_EIG_SWEEPS", 12)),
         eig_tol=float(env("BENCH_EIG_TOL", 3e-6)),
-        patch_solver=env("BENCH_SOLVER", "auto"),
+        eig_solver="lax" if eig_lax else env("BENCH_EIG_SOLVER", "auto"),
+        patch_solver="lax" if solver_lax else env("BENCH_SOLVER", "auto"),
         smallk_dirs=int(env("BENCH_SMALLK", 32)),
         smallk_power=int(env("BENCH_POWER", 3)),
         fused_algo=env("BENCH_ALGO", "ldl"),
@@ -341,6 +384,8 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    if degraded:
+        out["detail"]["degraded"] = degraded
     try:
         ms = jax.local_devices()[0].memory_stats()
         if ms and "peak_bytes_in_use" in ms:
@@ -355,20 +400,31 @@ def main():
     # at round close (VERDICT r3 #1).  Only NORTH-STAR-config runs refresh
     # the record: an elasticity/2D/refine-5/accuracy-knob A/B from the
     # measurement queue must not become the replayed headline number.
+    # degraded-ladder runs never refresh the headline record (ADVICE r4:
+    # the committed BENCH_SELF.json must represent default-config perf)
+    default_knobs = (not degraded
+                     and all(os.environ.get(k) is None for k in
+                             ("BENCH_SMALLK", "BENCH_POWER", "BENCH_PREC",
+                              "BENCH_EIG_SWEEPS", "BENCH_EIG_TOL",
+                              "BENCH_GJ2", "BENCH_ALGO", "BENCH_NB",
+                              "BENCH_TRACE_IMPL", "BENCH_SOLVER",
+                              "BENCH_EIG_SOLVER", "BENCH_CHUNK")))
     north_star = (metric == "3d_slod_patches_per_sec" and refine == 4
-                  and ell == 2 and sub == 2
-                  and all(os.environ.get(k) is None for k in
-                          ("BENCH_SMALLK", "BENCH_POWER", "BENCH_PREC",
-                           "BENCH_EIG_SWEEPS", "BENCH_EIG_TOL")))
-    if jax.default_backend() == "tpu" and north_star:
+                  and ell == 2 and sub == 2 and default_knobs)
+    # side records (VERDICT r4 #6): default-knob non-diffusion problems
+    # (the C>1 elasticity path) get their own auditable persisted trail
+    side = (problem != "diffusion" and default_knobs
+            and dim == 3 and ell == 2 and sub == 2)
+    if jax.default_backend() == "tpu" and (north_star or side):
+        fname = ("BENCH_SELF.json" if north_star
+                 else f"BENCH_SELF_{problem}_refine{refine}.json")
         try:
             import datetime
             stamped = dict(out)
             stamped["self_recorded_at"] = \
                 datetime.datetime.now().isoformat(timespec="seconds")
             with open(os.path.join(os.path.dirname(
-                    os.path.abspath(__file__)), "BENCH_SELF.json"),
-                    "w") as fh:
+                    os.path.abspath(__file__)), fname), "w") as fh:
                 fh.write(json.dumps(stamped, indent=1) + "\n")
         except OSError:
             pass

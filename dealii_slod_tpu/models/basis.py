@@ -772,6 +772,12 @@ class BasisKernels:
         def cfn(coef_list, nlo, nhi, sides):
             A_rows_I, A_solve, PT_m, cvd = vprep(coef_list, nlo, nhi)
             if solver_mode == "panel":
+                if self.cfg.solver_gj2:
+                    import warnings
+                    warnings.warn(
+                        "solver_gj2=True has no effect with patch_solver="
+                        "'panel' (scalar GJ pivot inverses run)",
+                        stacklevel=2)
                 Ainv_PT, T_raw = panel_spd_multirhs(
                     A_solve, PT_m, nb=self.cfg.panel_nb,
                     gj_bs=self.cfg.panel_gj_bs)

@@ -268,6 +268,41 @@ def _finalize_rows(XT, XB, n0, batch_shape):
             V.reshape(batch_shape + (n0, n0)))
 
 
+def jacobi_vmem_limit(B: int, block: int, m: int, n: int,
+                      itemsize: int) -> int:
+    """Scoped-VMEM limit (bytes) for the `jacobi_eigh_pallas` kernel.
+
+    Two contributions, both tile-padded to the TPU T(8,128) layout:
+
+    1. In-kernel residency: 2 input + 2 output (block, m, n) arrays kept
+       VMEM-resident across all rounds, plus rotation temporaries (x1.25).
+       Uses ``block`` (the per-grid-step shape), not the full batch
+       (ADVICE r4: estimating from B overestimated by B/block).
+    2. The relayout stack hazard: XLA may stack-allocate the layout-
+       conversion copy of each operand/result it deems small (<= 16M) in
+       scoped VMEM *on top of* the kernel's own residency.  Whether it
+       does depends on global compilation context — the r4 driver crash
+       compiled the exact shape (f32[256,16,32]) that the builder's own
+       session had compiled green hours earlier, after unrelated kernels
+       changed the surrounding HLO.  Measured total there: 22.78M where
+       the in-kernel estimate alone was 10.5M.
+
+    Because (2) is context-dependent, the limit is returned for EVERY
+    shape (callers set it unconditionally — never ``None``); the +16M
+    headroom term covers the frame and keeps the limit at least the
+    compiler default.  Capped at 110M (v5e: 128M physical).
+
+    Pinned against measured compiler residencies in
+    tests/test_vmem_gates.py."""
+    pad_m = -(-m // 8) * 8
+    pad_n = -(-n // 128) * 128
+    full = B * pad_m * pad_n * itemsize
+    blk = block * pad_m * pad_n * itemsize
+    resid = int(4 * blk * 1.25)
+    stack = 4 * full if full <= 16 * 2 ** 20 else 0
+    return min(resid + stack + 16 * 2 ** 20, 110 * 2 ** 20)
+
+
 def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
                        tol: float = 0.0, null_rel: float | None = None):
     """One-sided Jacobi eigensolver as a Pallas TPU kernel (PSD inputs).
@@ -297,22 +332,15 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
     B0 = G.shape[0]
     block = min(block, B0)   # also makes the wrapper vmap-friendly (B0=1)
     B = -(-B0 // block) * block
-    # This kernel keeps its FULL operands + results VMEM-resident
-    # (memory_space=VMEM full-array specs — the whole point: rounds never
-    # touch HBM).  The T(8,128) tile padding amplifies small trailing
-    # dims (the 2D elasticity Grams (512, 25, 50) pad 2.56M -> 8.39M per
-    # array), so the 2-in + 2-out residency can exceed the DEFAULT 16M
-    # scoped-VMEM limit (measured 22.7M after one batch halving).  Raise
-    # the limit to the actual residency — a compiler default, not a
-    # hardware bound (v5e: 128M physical).
-    pad_bytes = (B * (-(-(n // 2) // 8) * 8) * (-(-n // 128) * 128)
-                 * G.dtype.itemsize)
-    resid = int(4 * pad_bytes * 1.25)
-    # fire only when the residency itself exceeds the default limit —
-    # shapes that fit today (e.g. the 3D W-stage (384, 16, 32)) keep
-    # their kernel byte-identical for the compile cache
-    vmem_limit = (min(resid + 8 * 2 ** 20, 110 * 2 ** 20)
-                  if resid > 16 * 2 ** 20 else None)
+    # This kernel keeps its per-block operands + results VMEM-resident
+    # (memory_space=VMEM block specs — the whole point: rounds never
+    # touch HBM).  The scoped-VMEM limit is set UNCONDITIONALLY: the r4
+    # round-close bench crashed at compile time on a shape whose
+    # conditional gate said "fits the 16M default" — the compiler's
+    # context-dependent relayout stack allocation pushed the true
+    # residency to 22.78M (see jacobi_vmem_limit).  Cache-key stability
+    # is worth less than compiling at all.
+    vmem_limit = jacobi_vmem_limit(B, block, n // 2, n, G.dtype.itemsize)
     if n != n0 or B != B0:
         Gp = jnp.zeros((B, n, n), G.dtype)
         G = Gp.at[:B0, :n0, :n0].set(G)
@@ -384,8 +412,7 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
         out_specs=(spec,) * 2,
         out_shape=tuple(jax.ShapeDtypeStruct((B, m, n), G.dtype)
                         for _ in range(2)),
-        **({"compiler_params": pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit)} if vmem_limit else {}),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=not on_tpu,
     )(XT0, XB0)
     XT, XB = (o[:B0] for o in out)
@@ -495,6 +522,16 @@ def _mgs_kernel(k, passes, bs, x_in, q_ref):
     q_ref[:] = X
 
 
+def mgs_stack_hazard(bytes_padded: int) -> bool:
+    """True when a (padded) mgs operand of this size sits in the window
+    where XLA stack-allocates the relayout operand+result PAIR in scoped
+    VMEM and blows the 16M limit (measured: f32[192,32,384] = 9.4M and
+    f32[128,32,384] = 6.3M both produced a 17.80M scoped allocation).
+    `mgs_qr_pallas` recursively splits the batch out of this window.
+    Pinned against those measurements in tests/test_vmem_gates.py."""
+    return 4 * 2 ** 20 < bytes_padded <= 16 * 2 ** 20
+
+
 @partial(jax.jit, static_argnames=("bs", "passes", "interpret"))
 def mgs_qr_pallas(X: jnp.ndarray, bs: int = 64, passes: int = 2,
                   interpret: bool | None = None) -> jnp.ndarray:
@@ -529,7 +566,7 @@ def mgs_qr_pallas(X: jnp.ndarray, bs: int = 64, passes: int = 2,
     # HBM relayout.  Split the batch below the danger window (recursing
     # until each piece's pair + frame fits).
     bytes_padded = X.dtype.itemsize * (-(-B0 // bs) * bs) * kp * n
-    if 4 * 2 ** 20 < bytes_padded <= 16 * 2 ** 20 and B0 > 1:
+    if mgs_stack_hazard(bytes_padded) and B0 > 1:
         half = B0 // 2
         return jnp.concatenate(
             [mgs_qr_pallas(X[:half], bs=bs, passes=passes,
@@ -644,7 +681,7 @@ def smallk_truncated_dvec(G: jnp.ndarray, g0: jnp.ndarray, k: int = 32,
     # rounds are op-issue-bound at k=32 (each round is ~20 small VPU ops
     # regardless of batch width), so splitting the batch into 128-wide
     # blocks multiplied the round count by ceil(B/128) for no VPU saving.
-    # The kernel raises its scoped-VMEM limit automatically above 16M.
+    # The kernel sets its scoped-VMEM limit unconditionally (r4 fix).
     lw, U = jacobi_eigh_pallas(W, sweeps=small_sweeps,
                                block=min(W.shape[0], 1024))
     V = colnorm(jnp.einsum("bik,bkl->bil", Z, U))          # descending lam

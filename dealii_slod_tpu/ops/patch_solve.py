@@ -816,6 +816,15 @@ def fused_spd_multirhs(A: jnp.ndarray, B: jnp.ndarray, nb: int = 128,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if gj2 and algo in ("ldl_pipe", "ldl_noalias", "chol"):
+        # ADVICE r4: these kernels hard-code the scalar GJ sweep; warn at
+        # trace time instead of silently benchmarking the wrong thing
+        import warnings
+        warnings.warn(
+            f"solver_gj2=True has no effect with algo={algo!r} (the "
+            "2x2-pivot sweep is only threaded through ldl/ldlt); the "
+            "scalar sweep runs", stacklevel=2)
+
     P, n0, _ = A.shape
     k0 = B.shape[-1]
     dt = A.dtype

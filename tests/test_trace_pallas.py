@@ -90,6 +90,28 @@ def test_trace_pallas_ktile_split():
     np.testing.assert_allclose(np.asarray(S), ref, rtol=2e-5, atol=1e-4)
 
 
+def test_trace_pallas_roll_impl_padding_path():
+    """impl="roll" (ADVICE r4: previously only exercised by manual TPU
+    runs): in interpret mode the roll kernel body falls back to the slice
+    kernel, but the caller-side 8-alignment padding of the node axis
+    (nNq = ceil(nNp/8)*8, plus the slice-off) is the roll-only code path
+    this pins — outputs must be identical to impl="slice"."""
+    from dealii_slod_tpu.ops.assembly import stencil_trace_pallas
+    rng = np.random.default_rng(1)
+    B, nx, C, k = 2, 5, 2, 70
+    nN = nx * nx
+    offs = np.array([dx + dy * nx for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    shiftN = 1 + nx
+    band = jnp.asarray(rng.standard_normal((B, nN, 9 * C * C)), jnp.float32)
+    X = jnp.asarray(rng.standard_normal((B, C, nN, k)), jnp.float32)
+    Xp = jnp.pad(X, ((0, 0), (0, 0), (shiftN, shiftN), (0, 0)))
+    assert Xp.shape[2] % 8 != 0   # the padding path must actually fire
+    args = (band, Xp, shiftN, tuple(int(o) for o in offs))
+    S_slice = stencil_trace_pallas(*args, interpret=True, impl="slice")
+    S_roll = stencil_trace_pallas(*args, interpret=True, impl="roll")
+    np.testing.assert_array_equal(np.asarray(S_roll), np.asarray(S_slice))
+
+
 def test_diffusion_pipeline_trace_pallas_equals_scan_e2e():
     """C=1: trace_kernel="on" (pallas, interpret on CPU) equals "off"
     (banded scan) through the full diffusion basis pipeline — the
