@@ -277,9 +277,12 @@ def _run(chunk_div: int = 1, eig_lax: bool = False,
         patch_solver="lax" if solver_lax else env("BENCH_SOLVER", "auto"),
         smallk_dirs=int(env("BENCH_SMALLK", 32)),
         smallk_power=int(env("BENCH_POWER", 3)),
+        smallk_tol=float(env("BENCH_SMALLK_TOL", 0.0)),
+        smallk_weig=env("BENCH_WEIG", "0") == "1",
         fused_algo=env("BENCH_ALGO", "ldl"),
         solver_gj2=env("BENCH_GJ2", "0") == "1",
         trace_impl=env("BENCH_TRACE_IMPL", "slice"),
+        trace_kernel=env("BENCH_TRACE_KERNEL", "auto"),
         fused_nb=int(env("BENCH_NB", 64)),
         fused_block=int(env("BENCH_BS", 4)),
         panel_nb=int(env("BENCH_PANEL_NB", 128)),
@@ -408,7 +411,9 @@ def _run(chunk_div: int = 1, eig_lax: bool = False,
                               "BENCH_EIG_SWEEPS", "BENCH_EIG_TOL",
                               "BENCH_GJ2", "BENCH_ALGO", "BENCH_NB",
                               "BENCH_TRACE_IMPL", "BENCH_SOLVER",
-                              "BENCH_EIG_SOLVER", "BENCH_CHUNK")))
+                              "BENCH_EIG_SOLVER", "BENCH_CHUNK",
+                              "BENCH_SMALLK_TOL", "BENCH_TRACE_KERNEL",
+                              "BENCH_WEIG")))
     north_star = (metric == "3d_slod_patches_per_sec" and refine == 4
                   and ell == 2 and sub == 2 and default_knobs)
     # side records (VERDICT r4 #6): default-knob non-diffusion problems

@@ -242,6 +242,16 @@ class SLODConfig:
                                       # orthonormalized every step; the
                                       # huge 1/lambda gaps make 2-3 steps
                                       # converge the smallest block)
+    smallk_tol: float = 0.0           # adaptive sweep monitor for the
+                                      # smallk (k, k) W-stage Jacobi eig
+                                      # (0 = fixed 8 sweeps); W is near-
+                                      # diagonal after the inverse subspace
+                                      # iteration, so a 3e-6 monitor exits
+                                      # after ~2-3 sweeps
+    smallk_weig: bool = False         # fuse the smallk W-build (Z^T G Z)
+                                      # into the W-stage Jacobi kernel
+                                      # (ops/eig.weig_pallas): in-kernel
+                                      # MXU dots, no HBM W round trip
     eig_sweeps: int = 16              # max Jacobi sweeps (adaptive monitor
                                       # stops typical patches at ~6)
     patch_solver: str = "auto"        # per-patch SPD multi-RHS solve:

@@ -813,7 +813,9 @@ class BasisKernels:
                 dvec = smallk_truncated_dvec(G.reshape(B * C, cD, cD),
                                              g0.reshape(B * C, cD),
                                              k=k_eff,
-                                             power_steps=cfg.smallk_power)
+                                             power_steps=cfg.smallk_power,
+                                             small_tol=cfg.smallk_tol,
+                                             weig=cfg.smallk_weig)
                 return vpost_dvec(A_rows_I, Ainv_PT, Tinv,
                                   dvec.reshape(B, C, cD), cvd, nlo, nhi,
                                   sides)

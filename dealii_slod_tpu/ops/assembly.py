@@ -345,6 +345,80 @@ def _stencil_trace_kernel_roll(nN, nNp, C, offs_ref, b_ref, x_ref, o_ref):
             o_ref[0, c] = o_ref[0, c] + acc
 
 
+def _stencil_trace_c1_kernel(nN, offs_static, use_roll, nNp,
+                             b_ref, x_ref, o_ref):
+    """C == 1 variant with ALL offsets unrolled in one kernel body using
+    compile-time slice starts — no offset grid axis, no scalar prefetch,
+    no dynamic-slice shift-and-mask copies.
+
+    The r3 attempt at this shape hit Mosaic kernel-stack OOMs because
+    LICM hoists every statically-addressed (nN, kt) slice buffer to the
+    frame top (3^dim buffers live at once, ~18.4M at the 3D diffusion
+    chunk shape) — that was fatal under the default 16M scoped-VMEM
+    limit, but the limit is a compiler default, not a hardware bound
+    (r4 lesson): the caller now raises it to cover the hoisted frame.
+
+    b_ref (1, nN, 3^dim); x_ref (1, nNp, kt) node-padded; o_ref
+    (1, nN, kt) written once."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    acc = None
+    for oi, s0 in enumerate(offs_static):
+        if use_roll:
+            xs = pltpu.roll(x_ref[0], nNp - s0, axis=0)[:nN, :]
+        else:
+            xs = x_ref[0, s0:s0 + nN, :]
+        t = b_ref[0, :, oi:oi + 1] * xs
+        acc = t if acc is None else acc + t
+    o_ref[0] = acc
+
+
+def _stencil_trace_c1(band, Xp, shiftN, offs_flat, interpret, roll):
+    """Dispatch body for the C == 1 whole-offset-unrolled trace kernel
+    (impl="c1" / "c1roll"): one grid step per (patch, k-tile), x and the
+    accumulator VMEM-resident, 3^dim static-start shifted FMA terms.
+
+    vs the XLA-fused 27-term elementwise chain (models/basis.py
+    stencil_apply C == 1): the chain re-reads the padded canvas once per
+    offset from HBM (~27x the array), this kernel reads it once."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, C, nNp, k = Xp.shape
+    assert C == 1
+    nN = band.shape[1]
+    n_off = len(offs_flat)
+    dt = Xp.dtype
+    bpe = dt.itemsize
+    kt = min(-(-k // 128) * 128, 512)
+    # frame residency: n_off hoisted slice buffers + x + out per k-tile
+    while kt > 128 and (n_off + 2) * nN * kt * bpe > 60e6:
+        kt = max(128, (kt // 2) // 128 * 128)
+    kp = -(-k // kt) * kt
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    use_roll = roll and not interpret
+    nNq = -(-nNp // 8) * 8 if use_roll else nNp
+    X2 = Xp[:, 0]
+    if kp != k or nNq != nNp:
+        X2 = jnp.pad(X2, ((0, 0), (0, nNq - nNp), (0, kp - k)))
+    offs = tuple(shiftN + int(f) for f in offs_flat)
+    vmem_limit = min(int(((n_off + 2) * nN * kt + nNq * kt
+                          + nN * (-(-n_off // 128) * 128)) * bpe * 1.25)
+                     + 16 * 2 ** 20, 110 * 2 ** 20)
+    out = pl.pallas_call(
+        partial(_stencil_trace_c1_kernel, nN, offs, use_roll, nNq),
+        grid=(B, kp // kt),
+        in_specs=[pl.BlockSpec((1, nN, n_off), lambda b, j: (b, 0, 0)),
+                  pl.BlockSpec((1, nNq, kt), lambda b, j: (b, 0, j))],
+        out_specs=pl.BlockSpec((1, nN, kt), lambda b, j: (b, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, nN, kp), dt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(band.reshape(B, nN, n_off), X2)
+    return out[:, None, :, :k]
+
+
 @partial(jax.jit, static_argnames=("shiftN", "offs_flat", "interpret",
                                    "impl"))
 def stencil_trace_pallas(band: jnp.ndarray, Xp: jnp.ndarray, shiftN: int,
@@ -374,6 +448,9 @@ def stencil_trace_pallas(band: jnp.ndarray, Xp: jnp.ndarray, shiftN: int,
 
     B, _, nNp, k = Xp.shape
     C = Xp.shape[1]
+    if impl in ("c1", "c1roll") and C == 1:
+        return _stencil_trace_c1(band, Xp, shiftN, offs_flat, interpret,
+                                 roll=impl == "c1roll")
     nN = band.shape[1]
     n_off = len(offs_flat)
     CC = C * C

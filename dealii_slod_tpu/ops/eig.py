@@ -419,6 +419,120 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
     return _finalize_rows(XT, XB, n0, batch_shape)
 
 
+def weig_pallas(ZT: jnp.ndarray, YT: jnp.ndarray, sweeps: int = 8,
+                tol: float = 0.0, null_rel: float | None = None):
+    """Fused W-build + (k, k) one-sided Jacobi eig in ONE Pallas kernel
+    (VERDICT r4 #4): W = Z^T Y is built in-kernel from the transposed
+    factors (per-batch-element MXU nt-dots, fori_loop over the batch) and
+    the caterpillar sweep cascade runs on the VMEM-resident result —
+    no HBM materialization of W, no stride-2 XT/XB prep in XLA, no
+    relayout stack pairs, one launch instead of two.
+
+    ZT (B, k, n) — the subspace block TRANSPOSED (rows = vectors), k even;
+    YT (B, k, n) — (G Z)^T in the same layout.  For SPD G the converged
+    rows are lambda v^T exactly as in `jacobi_eigh_pallas` (W = Z^T G Z is
+    symmetric up to f32 roundoff in Y; one-sided Jacobi computes the SVD
+    of the slightly-nonsymmetric build, which agrees with the symmetric
+    eig to that roundoff).  Returns (eigenvalues descending (B, k),
+    eigenvectors as columns (B, k, k))."""
+    if null_rel is None:
+        null_rel = 1e-14 if ZT.dtype == jnp.float64 else 1e-9
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, k, n0 = ZT.shape
+    assert k % 2 == 0 and YT.shape == ZT.shape
+    kh = k // 2
+    dt = ZT.dtype
+    n = -(-n0 // 128) * 128
+    if n != n0:
+        ZT = jnp.pad(ZT, ((0, 0), (0, 0), (0, n - n0)))
+        YT = jnp.pad(YT, ((0, 0), (0, 0), (0, n - n0)))
+    ZeT, ZoT = ZT[:, 0::2], ZT[:, 1::2]        # (B, kh, n)
+    eps = float(np.finfo("float64" if dt == jnp.float64 else "float32").tiny
+                * 1e3)
+    on_tpu = jax.default_backend() == "tpu"
+
+    def kernel(zet_ref, zot_ref, yt_ref, xt_ref, xb_ref):
+        def build(i, _):
+            y = yt_ref[i]                                    # (k, n)
+            nt = (((1,), (1,)), ((), ()))
+            xt_ref[i] = jax.lax.dot_general(
+                zet_ref[i], y, nt, preferred_element_type=dt)
+            xb_ref[i] = jax.lax.dot_general(
+                zot_ref[i], y, nt, preferred_element_type=dt)
+            return 0
+        jax.lax.fori_loop(0, B, build, 0)
+        XT = xt_ref[:]
+        XB = xb_ref[:]
+        a0 = jnp.sum(XT * XT, axis=-1, keepdims=True)
+        b0 = jnp.sum(XB * XB, axis=-1, keepdims=True)
+        if tol <= 0.0:
+            def sweep_f(s, carry):
+                XT, XB = carry[:2]
+                aT = jnp.sum(XT * XT, axis=-1, keepdims=True)
+                bB = jnp.sum(XB * XB, axis=-1, keepdims=True)
+
+                def body(r, c2):
+                    return _caterpillar_round_nj(*c2, eps)
+
+                XT, XB, _, _ = jax.lax.fori_loop(
+                    0, k - 1, body, (XT, XB, aT, bB))
+                return XT, XB
+
+            XT, XB = jax.lax.fori_loop(0, sweeps, sweep_f, (XT, XB))
+        else:
+            amax2 = jnp.max(jnp.maximum(a0, b0), axis=-2, keepdims=True)
+
+            def sweep(carry):
+                XT, XB, it, _ = carry
+                aT = jnp.sum(XT * XT, axis=-1, keepdims=True)
+                bB = jnp.sum(XB * XB, axis=-1, keepdims=True)
+                off0 = jnp.zeros((), XT.dtype)
+
+                def body(r, c2):
+                    return _caterpillar_round_nj(*c2[:4], eps, off=c2[4],
+                                                 amax2=amax2,
+                                                 null_rel=null_rel)
+
+                XT, XB, aT, bB, off = jax.lax.fori_loop(
+                    0, k - 1, body, (XT, XB, aT, bB, off0))
+                return XT, XB, it + 1, off
+
+            def cond(carry):
+                return (carry[2] < sweeps) & (carry[3] > tol)
+
+            XT, XB, _, _ = jax.lax.while_loop(
+                cond, sweep,
+                (XT, XB, jnp.zeros((), jnp.int32),
+                 jnp.asarray(np.finfo(np.float32).max, XT.dtype)))
+        xt_ref[:] = XT
+        xb_ref[:] = XB
+
+    ms = pltpu.VMEM if on_tpu else None
+    in_specs = [pl.BlockSpec((B, kh, n), lambda: (0, 0, 0), memory_space=ms),
+                pl.BlockSpec((B, kh, n), lambda: (0, 0, 0), memory_space=ms),
+                pl.BlockSpec((B, k, n), lambda: (0, 0, 0), memory_space=ms)]
+    out_spec = pl.BlockSpec((B, kh, k), lambda: (0, 0, 0), memory_space=ms)
+    # residency: 2 x (B, kh, n) + (B, k, n) inputs + 2 x (B, kh, k->n pad)
+    # outputs (all tile-padded) — unconditional limit (r4 lesson)
+    pad_k = -(-k // 128) * 128
+    resid = (4 * B * kh * n + 2 * B * k * n
+             + 4 * B * -(-kh // 8) * 8 * pad_k) * dt.itemsize
+    vmem_limit = min(int(resid * 1.25) + 16 * 2 ** 20, 110 * 2 ** 20)
+    XT, XB = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, kh, k), dt)
+                        for _ in range(2)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=not on_tpu,
+    )(ZeT, ZoT, YT)
+    return _finalize_rows(XT, XB, k, (B,))
+
+
 @partial(jax.jit, static_argnames=("sweeps",))
 def jacobi_eigh(G: jnp.ndarray, sweeps: int = 10):
     """Eigendecomposition of symmetric (..., n, n) matrices.
@@ -590,7 +704,9 @@ def mgs_qr_pallas(X: jnp.ndarray, bs: int = 64, passes: int = 2,
 
 def smallk_truncated_dvec(G: jnp.ndarray, g0: jnp.ndarray, k: int = 32,
                           power_steps: int = 3, small_sweeps: int = 8,
-                          jitter: float | None = None) -> jnp.ndarray:
+                          jitter: float | None = None,
+                          small_tol: float = 0.0,
+                          weig: bool = False) -> jnp.ndarray:
     """SLOD stabilization coefficients without a full eigendecomposition.
 
     Computes the reference's truncated-pseudo-inverse solve + sigma-
@@ -675,15 +791,26 @@ def smallk_truncated_dvec(G: jnp.ndarray, g0: jnp.ndarray, k: int = 32,
     # repopulated directions converge on the next steps.
     for _ in range(max(1, power_steps)):
         Z = mgs_qr_pallas(jnp.einsum("bij,bjk->bik", Ginv, Z))
-    W = jnp.einsum("bik,bij,bjl->bkl", Z, Gj, Z)
-    W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
     # one kernel instance for the whole batch: the (n-1)*sweeps rotation
     # rounds are op-issue-bound at k=32 (each round is ~20 small VPU ops
     # regardless of batch width), so splitting the batch into 128-wide
     # blocks multiplied the round count by ceil(B/128) for no VPU saving.
     # The kernel sets its scoped-VMEM limit unconditionally (r4 fix).
-    lw, U = jacobi_eigh_pallas(W, sweeps=small_sweeps,
-                               block=min(W.shape[0], 1024))
+    # ``small_tol > 0`` enables the adaptive sweep monitor: W comes out of
+    # the inverse subspace iteration near-diagonal, so the sweep cascade
+    # converges in far fewer than the fixed ``small_sweeps`` rounds.
+    # ``weig``: build W in-kernel from the transposed factors and run the
+    # sweeps in the same launch (`weig_pallas`) — skips the HBM W, the
+    # symmetrization and the stride-2 XT/XB prep.
+    if weig:
+        ZT = jnp.swapaxes(Z, 1, 2)                         # (B, k, n)
+        YT = jnp.einsum("bkj,bji->bki", ZT, Gj)            # (G Z)^T
+        lw, U = weig_pallas(ZT, YT, sweeps=small_sweeps, tol=small_tol)
+    else:
+        W = jnp.einsum("bik,bij,bjl->bkl", Z, Gj, Z)
+        W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
+        lw, U = jacobi_eigh_pallas(W, sweeps=small_sweeps, tol=small_tol,
+                                   block=min(W.shape[0], 1024))
     V = colnorm(jnp.einsum("bik,bkl->bil", Z, U))          # descending lam
     proj = jnp.einsum("bik,bi->bk", V, d0)                 # (B, k)
 

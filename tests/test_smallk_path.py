@@ -55,6 +55,47 @@ def test_smallk_fused_matches_lapack_field():
     assert rel < 1e-4, rel
 
 
+def test_smallk_variants_match_field():
+    """The smallk perf knobs (adaptive W-stage tol, fused W-build+eig
+    kernel) must not change the prolonged field beyond flip headroom."""
+    u_ref = _prolonged(eig_solver="smallk", patch_solver="fused")
+    u_tol = _prolonged(eig_solver="smallk", patch_solver="fused",
+                       smallk_tol=3e-6)
+    rel = np.abs(u_tol - u_ref).max() / np.abs(u_ref).max()
+    assert rel < 1e-4, rel
+    u_weig = _prolonged(eig_solver="smallk", patch_solver="fused",
+                        smallk_weig=True)
+    rel = np.abs(u_weig - u_ref).max() / np.abs(u_ref).max()
+    assert rel < 1e-4, rel
+
+
+def test_weig_pallas_matches_explicit_w_eig():
+    """weig_pallas (in-kernel W = Z^T G Z + caterpillar sweeps) agrees
+    with the two-step path on a random SPD batch (interpret on CPU)."""
+    import jax.numpy as jnp
+    from dealii_slod_tpu.ops.eig import jacobi_eigh_pallas, weig_pallas
+
+    rng = np.random.default_rng(11)
+    B, n, k = 6, 40, 8
+    A = rng.standard_normal((B, n, n))
+    G = jnp.asarray(A @ np.swapaxes(A, -1, -2), jnp.float32)
+    Z = jnp.asarray(np.linalg.qr(rng.standard_normal((B, n, k)))[0],
+                    jnp.float32)
+    W = jnp.einsum("bik,bij,bjl->bkl", Z, G, Z)
+    W = 0.5 * (W + jnp.swapaxes(W, -1, -2))
+    lam_ref, _ = jacobi_eigh_pallas(W, sweeps=12, block=B)
+    ZT = jnp.swapaxes(Z, 1, 2)
+    YT = jnp.einsum("bkj,bji->bki", ZT, G)
+    lam, U = weig_pallas(ZT, YT, sweeps=12)
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(lam_ref),
+                               rtol=1e-4, atol=1e-3)
+    # eigenvector residual in W-space: ||W u - lam u||
+    Wu = np.einsum("bij,bjk->bik", np.asarray(W, np.float64),
+                   np.asarray(U, np.float64))
+    lu = np.asarray(lam, np.float64)[:, None, :] * np.asarray(U, np.float64)
+    assert np.max(np.abs(Wu - lu)) < 1e-2 * float(np.max(lam_ref))
+
+
 def test_smallk_fused_matches_lapack_field_elasticity():
     """C > 1 exercises the batched candidate assembly in finish_post_dvec
     (dvec (C, cD) -> one matmul chain) and the C-component smallk batch."""

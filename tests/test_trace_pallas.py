@@ -112,6 +112,52 @@ def test_trace_pallas_roll_impl_padding_path():
     np.testing.assert_array_equal(np.asarray(S_roll), np.asarray(S_slice))
 
 
+def test_trace_pallas_c1_impl_matches_slice():
+    """impl="c1" (C == 1 whole-offset-unrolled kernel, static slice
+    starts): identical outputs to the generic slice kernel, including the
+    k-tile pad/slice-off path and the c1roll 8-alignment padding."""
+    from dealii_slod_tpu.ops.assembly import stencil_trace_pallas
+    rng = np.random.default_rng(5)
+    B, nx, k = 3, 5, 150
+    nN = nx * nx
+    offs = np.array([dx + dy * nx for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    shiftN = 1 + nx
+    band = jnp.asarray(rng.standard_normal((B, nN, 9)), jnp.float32)
+    X = jnp.asarray(rng.standard_normal((B, 1, nN, k)), jnp.float32)
+    Xp = jnp.pad(X, ((0, 0), (0, 0), (shiftN, shiftN), (0, 0)))
+    args = (band, Xp, shiftN, tuple(int(o) for o in offs))
+    S_slice = stencil_trace_pallas(*args, interpret=True, impl="slice")
+    for impl in ("c1", "c1roll"):
+        S_c1 = stencil_trace_pallas(*args, interpret=True, impl=impl)
+        # same accumulation ORDER, but the single unrolled chain gets
+        # FMA-contracted differently than the per-grid-revisit adds —
+        # last-ulp-only disagreement
+        np.testing.assert_allclose(np.asarray(S_c1), np.asarray(S_slice),
+                                   rtol=3e-7, atol=3e-6)
+
+
+def test_diffusion_pipeline_trace_c1_equals_scan_e2e():
+    """C=1 end-to-end: trace_kernel="on" + trace_impl="c1" equals the
+    default banded scan through the full diffusion basis pipeline."""
+    from dealii_slod_tpu.models import DiffusionProblem
+
+    kw = dict(dim=2, n_global_refinements=3, n_subdivisions=2,
+              oversampling=1, lod_stabilization=True,
+              constant_coefficients=False, coef_seed=7,
+              rhs="1", bc="0", dtype="float32")
+
+    def run(mode, impl):
+        cfg = SLODConfig(trace_kernel=mode, trace_impl=impl, **kw)
+        s = LODSolver(cfg, DiffusionProblem(cfg), verbose=False)
+        s.compute_basis()
+        return np.asarray(s.Phi), np.asarray(s.APhi)
+
+    phi_scan, aphi_scan = run("off", "slice")
+    phi_c1, aphi_c1 = run("on", "c1")
+    np.testing.assert_allclose(phi_c1, phi_scan, atol=1e-6)
+    np.testing.assert_allclose(aphi_c1, aphi_scan, atol=1e-5)
+
+
 def test_diffusion_pipeline_trace_pallas_equals_scan_e2e():
     """C=1: trace_kernel="on" (pallas, interpret on CPU) equals "off"
     (banded scan) through the full diffusion basis pipeline — the
