@@ -608,10 +608,16 @@ class BasisKernels:
             Xf = jax.vmap(scatter_interior)(X_B)           # (B, nD, k)
             Xc = jnp.transpose(Xf.reshape(B, n_nodes, C, k), (0, 2, 1, 3))
             Xp = jnp.pad(Xc, ((0, 0), (0, 0), (shiftN, shiftN), (0, 0)))
+            # C == 1: the generic impls ("slice"/"roll") are the C>1
+            # offset-grid designs — auto-upgrade to the unrolled c1roll
+            # kernel (explicit "c1"/"c1roll" settings are honored)
+            impl = cfg.trace_impl
+            if C == 1 and impl in ("slice", "roll"):
+                impl = "c1roll"
             S = stencil_trace_pallas(
                 band_B, Xp, shiftN, tuple(int(o) for o in offs_flat_np),
                 interpret=interpret,
-                impl=cfg.trace_impl)                       # (B, C, nN, k)
+                impl=impl)                                 # (B, C, nN, k)
             S = jnp.transpose(S, (0, 2, 1, 3)).reshape(B, nD, k)
             _, is99 = jax.vmap(edge_masks)(nlo_B, nhi_B, sides_B)
             is99d = jnp.repeat(is99, C, axis=-1).astype(dt)
@@ -676,14 +682,21 @@ class BasisKernels:
                               slod, spec_mode, cD)
         # chunk-level Pallas boundary-trace path (banded): hoists the S
         # product out of the vmap into a VMEM-resident stencil kernel.
-        # auto = C > 1 ONLY: the C>1 path is a sequential lax.scan whose
-        # (B, C, nN, k) accumulator round-trips HBM 3^dim times (270 ms
-        # -> 89.5 ms/chunk measured on the v5e elasticity bench), but the
-        # C=1 path is an UNROLLED 3^dim-term chain that XLA fuses into a
-        # single elementwise kernel — the pallas version measured a bench
-        # REGRESSION there (4326 -> 3695 patches/s north star).
+        # auto routing:
+        # - C > 1: the scan path's (B, C, nN, k) accumulator round-trips
+        #   HBM 3^dim times (270 -> 89.5 ms/chunk measured, v5e
+        #   elasticity) — always kernel;
+        # - C == 1 on TPU: the whole-offset-unrolled c1roll kernel
+        #   (static rotates, one grid step per patch/k-tile) beats the
+        #   XLA-fused 27-term chain that re-reads the canvas per offset
+        #   (4333 -> 4465.7 patches/s, r5 session 1).  The r3 REGRESSION
+        #   (4326 -> 3695) was the offset-grid kernel whose per-offset
+        #   dynamic-slice copies + 3^dim grid revisits dominated — c1roll
+        #   has neither.  CPU keeps the XLA chain (interpret mode would
+        #   only slow tests).
         use_trace_kernel = cfg.trace_kernel == "on" or (
-            cfg.trace_kernel == "auto" and C > 1)
+            cfg.trace_kernel == "auto"
+            and (C > 1 or jax.default_backend() == "tpu"))
         self._trace_chunk = ((trace_S_chunk, finish_pre_from_S)
                              if (use_banded and slod and use_trace_kernel)
                              else None)

@@ -419,6 +419,91 @@ def _stencil_trace_c1(band, Xp, shiftN, offs_flat, interpret, roll):
     return out[:, None, :, :k]
 
 
+def _stencil_trace_unroll_kernel(nN, offs_static, use_roll, nNp, C,
+                                 b_ref, x_ref, o_ref):
+    """C-generic whole-offset-unrolled body: all 3^dim x C shifted source
+    slices built once with compile-time starts (or hardware rotates),
+    shared across the C output components — no offset grid axis, no
+    dynamic-slice shift-and-mask copies (the ~60 ms/chunk rotation cost
+    of the offset-grid kernel at the 3D elasticity shape, ROADMAP r4).
+
+    b_ref (1, nN, 3^dim * C * C) flat col o*C*C + c*C + d;
+    x_ref (1, C, nNp, kt); o_ref (1, C, nN, kt)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_off = len(offs_static)
+    xs = []
+    for oi, s0 in enumerate(offs_static):
+        if use_roll:
+            xs.append([pltpu.roll(x_ref[0, d], nNp - s0, axis=0)[:nN, :]
+                       for d in range(C)])
+        else:
+            xs.append([x_ref[0, d, s0:s0 + nN, :] for d in range(C)])
+    for c in range(C):
+        acc = None
+        for oi in range(n_off):
+            for d in range(C):
+                col = oi * C * C + c * C + d
+                t = b_ref[0, :, col:col + 1] * xs[oi][d]
+                acc = t if acc is None else acc + t
+        o_ref[0, c] = acc
+
+
+def _stencil_trace_unroll(band, Xp, shiftN, offs_flat, interpret, roll):
+    """Dispatch body for impl="unroll" (any C): one grid step per
+    (patch, k-tile), 3^dim * C hoisted static-shifted source buffers —
+    ~(n_off * C + 3 C) * nN * kt * 4 B of frame residency, covered by an
+    explicit scoped-VMEM limit (59M at the 3D elasticity chunk shape).
+    Callers must check `trace_unroll_fits` first."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, C, nNp, k = Xp.shape
+    nN = band.shape[1]
+    n_off = len(offs_flat)
+    dt = Xp.dtype
+    bpe = dt.itemsize
+    kt = min(-(-k // 128) * 128, 512)
+    while kt > 128 and _unroll_resid(nN, nNp, kt, C, n_off, bpe) > 90e6:
+        kt = max(128, (kt // 2) // 128 * 128)
+    kp = -(-k // kt) * kt
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    use_roll = roll and not interpret
+    nNq = -(-nNp // 8) * 8 if use_roll else nNp
+    X2 = Xp
+    if kp != k or nNq != nNp:
+        X2 = jnp.pad(Xp, ((0, 0), (0, 0), (0, nNq - nNp), (0, kp - k)))
+    offs = tuple(shiftN + int(f) for f in offs_flat)
+    vmem_limit = min(int(_unroll_resid(nN, nNq, kt, C, n_off, bpe) * 1.2)
+                     + 16 * 2 ** 20, 110 * 2 ** 20)
+    out = pl.pallas_call(
+        partial(_stencil_trace_unroll_kernel, nN, offs, use_roll, nNq, C),
+        grid=(B, kp // kt),
+        in_specs=[pl.BlockSpec((1, nN, n_off * C * C),
+                               lambda b, j: (b, 0, 0)),
+                  pl.BlockSpec((1, C, nNq, kt), lambda b, j: (b, 0, 0, j))],
+        out_specs=pl.BlockSpec((1, C, nN, kt), lambda b, j: (b, 0, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((B, C, nN, kp), dt),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(band, X2)
+    return out[..., :k]
+
+
+def _unroll_resid(nN, nNp, kt, C, n_off, bpe) -> int:
+    """Frame residency estimate for the unrolled trace kernel: n_off * C
+    hoisted slice buffers + C accumulators + x + out + band."""
+    return ((n_off * C + C) * nN * kt + C * nNp * kt + C * nN * kt
+            + nN * (-(-n_off * C * C // 128) * 128)) * bpe
+
+
+def trace_unroll_fits(nN, nNp, k, C, n_off, bpe=4) -> bool:
+    """True when the unrolled kernel's hoisted frame fits the raised
+    scoped-VMEM cap at the minimum k-tile (128)."""
+    return _unroll_resid(nN, nNp, 128, C, n_off, bpe) * 1.2 < 90e6
+
+
 @partial(jax.jit, static_argnames=("shiftN", "offs_flat", "interpret",
                                    "impl"))
 def stencil_trace_pallas(band: jnp.ndarray, Xp: jnp.ndarray, shiftN: int,
@@ -451,6 +536,9 @@ def stencil_trace_pallas(band: jnp.ndarray, Xp: jnp.ndarray, shiftN: int,
     if impl in ("c1", "c1roll") and C == 1:
         return _stencil_trace_c1(band, Xp, shiftN, offs_flat, interpret,
                                  roll=impl == "c1roll")
+    if impl in ("unroll", "unrollslice"):
+        return _stencil_trace_unroll(band, Xp, shiftN, offs_flat, interpret,
+                                     roll=impl == "unroll")
     nN = band.shape[1]
     n_off = len(offs_flat)
     CC = C * C

@@ -419,6 +419,7 @@ def jacobi_eigh_pallas(G: jnp.ndarray, sweeps: int = 12, block: int = 16,
     return _finalize_rows(XT, XB, n0, batch_shape)
 
 
+@partial(jax.jit, static_argnames=("sweeps", "tol", "null_rel"))
 def weig_pallas(ZT: jnp.ndarray, YT: jnp.ndarray, sweeps: int = 8,
                 tol: float = 0.0, null_rel: float | None = None):
     """Fused W-build + (k, k) one-sided Jacobi eig in ONE Pallas kernel

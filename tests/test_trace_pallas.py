@@ -136,6 +136,39 @@ def test_trace_pallas_c1_impl_matches_slice():
                                    rtol=3e-7, atol=3e-6)
 
 
+def test_trace_pallas_unroll_impl_matches_slice():
+    """impl="unroll"/"unrollslice" (C-generic whole-offset-unrolled
+    kernel) matches the offset-grid slice kernel, C=2, k-tiled."""
+    from dealii_slod_tpu.ops.assembly import (stencil_trace_pallas,
+                                              trace_unroll_fits)
+    rng = np.random.default_rng(9)
+    B, nx, C, k = 2, 5, 2, 150
+    nN = nx * nx
+    offs = np.array([dx + dy * nx for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    shiftN = 1 + nx
+    band = jnp.asarray(rng.standard_normal((B, nN, 9 * C * C)), jnp.float32)
+    X = jnp.asarray(rng.standard_normal((B, C, nN, k)), jnp.float32)
+    Xp = jnp.pad(X, ((0, 0), (0, 0), (shiftN, shiftN), (0, 0)))
+    assert trace_unroll_fits(nN, Xp.shape[2], k, C, 9)
+    args = (band, Xp, shiftN, tuple(int(o) for o in offs))
+    S_slice = stencil_trace_pallas(*args, interpret=True, impl="slice")
+    for impl in ("unroll", "unrollslice"):
+        S_u = stencil_trace_pallas(*args, interpret=True, impl=impl)
+        np.testing.assert_allclose(np.asarray(S_u), np.asarray(S_slice),
+                                   rtol=3e-7, atol=3e-6)
+
+
+def test_trace_unroll_fits_bench_shapes():
+    """The 3D elasticity chunk shape must fit the unrolled kernel's frame
+    budget (that's the shape the adoption targets); an absurd one must
+    not."""
+    from dealii_slod_tpu.ops.assembly import trace_unroll_fits
+    # 3D elasticity: nN=1331, C=3, 27 offsets, k-tile 128
+    assert trace_unroll_fits(1331, 1331 + 2 * 157, 384, 3, 27)
+    # refine-anything with a huge canvas: must refuse
+    assert not trace_unroll_fits(12167, 12167 + 2 * 157, 384, 3, 27)
+
+
 def test_diffusion_pipeline_trace_c1_equals_scan_e2e():
     """C=1 end-to-end: trace_kernel="on" + trace_impl="c1" equals the
     default banded scan through the full diffusion basis pipeline."""
