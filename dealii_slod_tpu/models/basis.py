@@ -608,12 +608,23 @@ class BasisKernels:
             Xf = jax.vmap(scatter_interior)(X_B)           # (B, nD, k)
             Xc = jnp.transpose(Xf.reshape(B, n_nodes, C, k), (0, 2, 1, 3))
             Xp = jnp.pad(Xc, ((0, 0), (0, 0), (shiftN, shiftN), (0, 0)))
-            # C == 1: the generic impls ("slice"/"roll") are the C>1
-            # offset-grid designs — auto-upgrade to the unrolled c1roll
-            # kernel (explicit "c1"/"c1roll" settings are honored)
+            # auto-upgrade the default impl to the whole-offset-unrolled
+            # kernels (explicit settings are honored):
+            # - C == 1 -> "c1roll" (4333 -> 4465.7, r5 s1);
+            # - C > 1 -> "unrollslice" when the hoisted frame fits
+            #   (elasticity refine-3: 511.6 -> 517.8; the roll variant
+            #   measured 515.7 — static slices win at C > 1)
             impl = cfg.trace_impl
-            if C == 1 and impl in ("slice", "roll"):
-                impl = "c1roll"
+            if impl in ("slice", "roll"):
+                if C == 1:
+                    impl = "c1roll"
+                else:
+                    from dealii_slod_tpu.ops.assembly import \
+                        trace_unroll_fits
+                    nNp_tr = n_nodes + 2 * shiftN
+                    if trace_unroll_fits(n_nodes, nNp_tr, k, C, n_off,
+                                         jnp.dtype(dt).itemsize):
+                        impl = "unrollslice"
             S = stencil_trace_pallas(
                 band_B, Xp, shiftN, tuple(int(o) for o in offs_flat_np),
                 interpret=interpret,

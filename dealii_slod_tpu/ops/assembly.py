@@ -464,7 +464,8 @@ def _stencil_trace_unroll(band, Xp, shiftN, offs_flat, interpret, roll):
     dt = Xp.dtype
     bpe = dt.itemsize
     kt = min(-(-k // 128) * 128, 512)
-    while kt > 128 and _unroll_resid(nN, nNp, kt, C, n_off, bpe) > 90e6:
+    while kt > 128 and (_unroll_resid(nN, nNp, kt, C, n_off, bpe) * 1.25
+                        + 16 * 2 ** 20 > 110 * 2 ** 20):
         kt = max(128, (kt // 2) // 128 * 128)
     kp = -(-k // kt) * kt
     if interpret is None:
@@ -475,7 +476,7 @@ def _stencil_trace_unroll(band, Xp, shiftN, offs_flat, interpret, roll):
     if kp != k or nNq != nNp:
         X2 = jnp.pad(Xp, ((0, 0), (0, 0), (0, nNq - nNp), (0, kp - k)))
     offs = tuple(shiftN + int(f) for f in offs_flat)
-    vmem_limit = min(int(_unroll_resid(nN, nNq, kt, C, n_off, bpe) * 1.2)
+    vmem_limit = min(int(_unroll_resid(nN, nNq, kt, C, n_off, bpe) * 1.25)
                      + 16 * 2 ** 20, 110 * 2 ** 20)
     out = pl.pallas_call(
         partial(_stencil_trace_unroll_kernel, nN, offs, use_roll, nNq, C),
@@ -493,15 +494,20 @@ def _stencil_trace_unroll(band, Xp, shiftN, offs_flat, interpret, roll):
 
 def _unroll_resid(nN, nNp, kt, C, n_off, bpe) -> int:
     """Frame residency estimate for the unrolled trace kernel: n_off * C
-    hoisted slice buffers + C accumulators + x + out + band."""
-    return ((n_off * C + C) * nN * kt + C * nNp * kt + C * nN * kt
+    hoisted rotate/slice buffers (FULL nNp length — pltpu.roll rotates
+    the whole padded buffer before the [:nN] slice) + C accumulators +
+    x + out + band.  Calibrated against the measured 90.70M compiler
+    residency at the 3D elasticity chunk shape (nN=1331, nNp=1600, C=3,
+    kt=128): this estimate x1.25 = 90.1M (r5 session 1)."""
+    return ((n_off * C + C) * nNp * kt + C * nNp * kt + C * nN * kt
             + nN * (-(-n_off * C * C // 128) * 128)) * bpe
 
 
 def trace_unroll_fits(nN, nNp, k, C, n_off, bpe=4) -> bool:
-    """True when the unrolled kernel's hoisted frame fits the raised
-    scoped-VMEM cap at the minimum k-tile (128)."""
-    return _unroll_resid(nN, nNp, 128, C, n_off, bpe) * 1.2 < 90e6
+    """True when the unrolled kernel's frame (x1.25 + headroom) fits the
+    110M scoped-VMEM cap at the minimum k-tile (128)."""
+    return _unroll_resid(nN, nNp, 128, C, n_off, bpe) * 1.25 \
+        + 16 * 2 ** 20 <= 110 * 2 ** 20
 
 
 @partial(jax.jit, static_argnames=("shiftN", "offs_flat", "interpret",

@@ -162,11 +162,18 @@ def test_trace_unroll_fits_bench_shapes():
     """The 3D elasticity chunk shape must fit the unrolled kernel's frame
     budget (that's the shape the adoption targets); an absurd one must
     not."""
-    from dealii_slod_tpu.ops.assembly import trace_unroll_fits
+    from dealii_slod_tpu.ops.assembly import (_unroll_resid,
+                                              trace_unroll_fits)
     # 3D elasticity: nN=1331, C=3, 27 offsets, k-tile 128
     assert trace_unroll_fits(1331, 1331 + 2 * 157, 384, 3, 27)
     # refine-anything with a huge canvas: must refuse
     assert not trace_unroll_fits(12167, 12167 + 2 * 157, 384, 3, 27)
+    # pin vs the measured compiler residency (r5 s1: 90.70M at
+    # nN=1331, nNp=1600, kt=128, C=3 — the first unroll A/B OOMed at an
+    # 88.22M limit from the pre-calibration nN-based estimate)
+    limit = _unroll_resid(1331, 1600, 128, 3, 27, 4) * 1.25 + 16 * 2 ** 20
+    assert limit > 90.70 * 2 ** 20
+    assert limit <= 110 * 2 ** 20
 
 
 def test_diffusion_pipeline_trace_c1_equals_scan_e2e():
