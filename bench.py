@@ -294,6 +294,7 @@ def _run(chunk_div: int = 1, eig_lax: bool = False,
         coef_windows=env("BENCH_COEF_WINDOWS", "1") == "1",
         matmul_precision=env("BENCH_PREC", "high"),
         coarse_solve=env("BENCH_COARSE", "cg"),
+        stencil_side_budget_mb=int(env("BENCH_SIDE_MB", 2048)),
     )
     if problem == "elasticity":
         from dealii_slod_tpu.models import ElasticityProblem
@@ -416,7 +417,7 @@ def _run(chunk_div: int = 1, eig_lax: bool = False,
                               "BENCH_TRACE_IMPL", "BENCH_SOLVER",
                               "BENCH_EIG_SOLVER", "BENCH_CHUNK",
                               "BENCH_SMALLK_TOL", "BENCH_TRACE_KERNEL",
-                              "BENCH_WEIG")))
+                              "BENCH_WEIG", "BENCH_SIDE_MB")))
     north_star = (metric == "3d_slod_patches_per_sec" and refine == 4
                   and ell == 2 and sub == 2 and default_knobs)
     # side records (VERDICT r4 #6): default-knob non-diffusion problems

@@ -352,6 +352,11 @@ class SLODConfig:
                                       # matrix (256 MB f32 at the cap, built
                                       # once per solve) instead of the
                                       # per-iteration stencil neighbor stack
+    stencil_side_budget_mb: int = 2048  # HBM budget for the stencil build's
+                                      # full side tables; above it the build
+                                      # switches to the plane-chunked form
+                                      # (refine-5 3D elasticity: 10.9 GB of
+                                      # full tables -> chunked fits one v5e)
     profile_dir: str = ""             # non-empty: wrap the pipeline in a
                                       # jax.profiler trace written there
                                       # (TPU replacement for the reference's

@@ -42,11 +42,27 @@ class StencilOps:
         the large-P fallback re-gathered ~400 MB of canvases per stencil
         offset — measured 16.5 s of the 28.3 s refine-4 3D elasticity
         wall; the chunked cells build does the same contraction in
-        ~160 GFLOP of MXU matmul with no full-size T.)"""
-        K = (2 * self.cfg.oversampling + 1) ** self.cfg.dim
-        K2 = (2 * self.cfg.oversampling + 2) ** self.cfg.dim
-        t_bytes = (self.topo.n_patches * K * K2 * self.C * self.C
-                   * (8 if self.dtype == jnp.float64 else 4))
+        ~160 GFLOP of MXU matmul with no full-size T.)
+
+        When the full (E, K, O C^2) / (E, K2, O C^2) side tables would
+        exceed ``cfg.stencil_side_budget_mb`` (refine-5 3D elasticity:
+        4.0 + 6.9 GB, which single-handedly HBM-OOMed the config on one
+        v5e), the build switches to `_stencil_build_cells_planes`: both
+        side tables are built and consumed one z-plane chunk at a time,
+        so no full-size table ever materializes."""
+        cfg = self.cfg
+        K = (2 * cfg.oversampling + 1) ** cfg.dim
+        K2 = (2 * cfg.oversampling + 2) ** cfg.dim
+        item = 8 if self.dtype == jnp.float64 else 4
+        P = self.topo.n_patches
+        CC = self.C * self.C
+        O = (cfg.n_subdivisions + 1) ** cfg.dim
+        side_bytes = P * (K + K2) * O * CC * item
+        budget = getattr(cfg, "stencil_side_budget_mb", 2048) * (1 << 20)
+        if side_bytes > budget:
+            return self._stencil_build_cells_planes(Phi, APhi,
+                                                    budget_bytes=budget)
+        t_bytes = P * K * K2 * CC * item
         n_chunks = min(K, max(1, -(-t_bytes // (1 << 30))))
         return self._stencil_build_cells(Phi, APhi, n_chunks=int(n_chunks))
 
@@ -115,10 +131,10 @@ class StencilOps:
             own=own, k2map=k2map, K=K, K2=K2, O=O)
         return self._cell_tab
 
-    def _shift_slots(self, X, slots_per_axis, sign=1, slot_base=None):
-        """Slot-indexed lattice shift, realized as ``dim * slots_per_axis``
+    def _shift_slots(self, X, slot_dims, sign=1, slot_base=None):
+        """Slot-indexed lattice shift, realized as ``sum(slot_dims)``
         static pad/slice stacks — no gathers.  ``X``:
-        (E, slots_per_axis^dim, rest...) with x-fastest flat indices.
+        (E, prod(slot_dims), rest...) with x-fastest flat indices.
 
         sign=+1 (default): out[e, k, :] = X[e + (ell - k), k, :] — aligns
         per-slot canvas picks onto the cell lattice.
@@ -127,25 +143,28 @@ class StencilOps:
         e = q + ks[k] - ell; off-lattice rows come out zero, which equals
         the evalid mask (measured ~1.5 ms faster than the 442 MB row
         gather it replaces at the 3D north-star shape, r5 s1).
-        ``slot_base``: per-axis coordinate of slot 0 when X carries a
-        contiguous CHUNK of the slot grid (the K-chunked build)."""
+        ``slot_dims``: int (cubic slot grid) or per-spatial-axis extents;
+        ``slot_base``: per-axis coordinate of slot (0, ..) when X carries
+        a contiguous CHUNK of the slot grid (the plane-chunked build)."""
         cfg = self.cfg
         dim = cfg.dim
         N = cfg.n_coarse
         ell = cfg.oversampling
-        Kx = slots_per_axis
+        if isinstance(slot_dims, (int, np.integer)):
+            slot_dims = (int(slot_dims),) * dim
+        slot_dims = tuple(int(k) for k in slot_dims)
         rest = X.shape[2:]
         n_slots = X.shape[1]
-        slot_dims = (Kx,) * dim
-        if n_slots != Kx ** dim:
-            raise ValueError("chunked slot axes need explicit slot grids")
-        X = X.reshape((N,) * dim + slot_dims + rest)
+        if n_slots != int(np.prod(slot_dims)):
+            raise ValueError("slot axis does not match the slot grid")
+        # flat slot index is x-fastest -> reshape extents slowest-first
+        X = X.reshape((N,) * dim + slot_dims[::-1] + rest)
         base = (0,) * dim if slot_base is None else tuple(slot_base)
         for a in range(dim):                 # spatial axis a (x fastest)
             lat_ax = dim - 1 - a
             slot_ax = dim + (dim - 1 - a)
             parts = []
-            for kv in range(Kx):
+            for kv in range(slot_dims[a]):
                 d = sign * (ell - (kv + base[a]))
                 Xi = jax.lax.index_in_dim(X, kv, axis=slot_ax, keepdims=True)
                 pad = [(0, 0)] * Xi.ndim
@@ -159,7 +178,7 @@ class StencilOps:
                     pad[lat_ax] = (N - hi, 0)
                 parts.append(jnp.pad(Xi, pad))
             X = jnp.concatenate(parts, axis=slot_ax)
-        return X.reshape((N ** dim, Kx ** dim) + rest)
+        return X.reshape((N ** dim, n_slots) + rest)
 
     def _slot_match_matrix(self):
         """Dense 0/1 matrix M[(k1, k2), j] of the slot-correlation relation
@@ -257,6 +276,108 @@ class StencilOps:
                 "pxc,xj->pjc", G2.reshape(P, (k1 - k0) * K2, CC),
                 M3[k0 * K2:k1 * K2], precision=jax.lax.Precision.HIGH)
         return A_st.reshape(P, self.n_stencil, C, C)
+
+    def _stencil_build_cells_planes(self, Phi, APhi, budget_bytes: int):
+        """Plane-chunked cells build: identical algebra to
+        `_stencil_build_cells`, but the (E, K, O C^2) phi-side and
+        (E, K2, O C^2) Aphi-side tables are built and consumed one chunk
+        of slot z-planes at a time (the slowest slot axis — a contiguous
+        row range of the x-fastest flat slot index), accumulating the
+        stencil directly.  Peak residency drops from the full side tables
+        (4.0 + 6.9 GB at refine-5 3D elasticity — the allocation that
+        HBM-OOMed that config on one v5e) to a few chunk-size arrays; the
+        extra cost is re-issuing the canvas ``take`` once per
+        (m-chunk, k-chunk) pair."""
+        cfg = self.cfg
+        C = self.C
+        CC = C * C
+        P = self.topo.n_patches
+        dim = cfg.dim
+        kappa = 2 * cfg.oversampling + 1
+        tab = self._cell_tables()
+        K, K2, O = tab["K"], tab["K2"], tab["O"]
+        item = 8 if self.dtype == jnp.float64 else 4
+        plane1 = kappa ** (dim - 1)
+        plane2 = (kappa + 1) ** (dim - 1)
+
+        def planes_within(n_planes, per_plane_bytes):
+            cap = max(1, int(budget_bytes // 4 // max(1, per_plane_bytes)))
+            return min(n_planes, cap)
+
+        zk = planes_within(kappa, P * plane1 * O * CC * item)
+        zm = planes_within(kappa + 1, P * plane2 * O * CC * item)
+        # bound the (P, Kc, K2c, C, C) product chunk as well
+        while zk * zm > 1 and (P * zk * plane1 * zm * plane2 * CC * item
+                               > budget_bytes // 2):
+            if zk >= zm and zk > 1:
+                zk -= 1
+            elif zm > 1:
+                zm -= 1
+            else:
+                break
+
+        own = jnp.asarray(tab["own"].astype(np.float32), Phi.dtype)
+        M3 = np.asarray(self._slot_match_matrix()).reshape(
+            K, K2, self.n_stencil)
+        e_idx = jnp.asarray(tab["e_idx"])
+        evalid = tab["evalid"]
+        Phi4 = Phi.reshape(P, self.canvas_n, C, C)
+        APhi4 = APhi.reshape(P, self.canvas_n, C, C)
+
+        def side_chunk(X, which, spa, z0, z1):
+            pl = spa ** (dim - 1)
+            lo, hi = z0 * pl, z1 * pl
+            cn = jnp.asarray(tab[f"cnode{which}"][lo:hi].reshape(-1))
+            Y = jnp.take(X, cn, axis=1)          # (P, nsel*O, C, C)
+            incv = jnp.asarray(
+                tab[f"incv{which}"][lo:hi].reshape(-1).astype(np.float32),
+                X.dtype)
+            Y = Y * incv[None, :, None, None]
+            Y = Y.reshape(P, hi - lo, O * CC)
+            dims = (spa,) * (dim - 1) + (z1 - z0,)
+            base = (0,) * (dim - 1) + (z0,)
+            return self._shift_slots(Y, dims, slot_base=base)
+
+        # accumulate in (P, CC, S) layout: the minor axis stays the large
+        # stencil extent instead of C^2 (which would lane-pad CC -> 128);
+        # transposed once at the very end
+        A_st = jnp.zeros((P, CC, self.n_stencil), self.dtype)
+        for mz0 in range(0, kappa + 1, zm):
+            mz1 = min(kappa + 1, mz0 + zm)
+            mlo, mhi = mz0 * plane2, mz1 * plane2
+            for kz0 in range(0, kappa, zk):
+                kz1 = min(kappa, kz0 + zk)
+                klo, khi = kz0 * plane1, kz1 * plane1
+                # hard sequencing: without it XLA schedules many chunk
+                # pairs' side tables live at once (the pairs only share
+                # the A_st accumulation chain) — measured 57 GB HBM
+                # requirement at refine-5 3D elasticity
+                A_st, Phi4, APhi4 = jax.lax.optimization_barrier(
+                    (A_st, Phi4, APhi4))
+                Ac = side_chunk(APhi4, 2, kappa + 1, mz0, mz1)
+                Ac = (Ac.reshape(P, mhi - mlo, O, CC)
+                      * own[:, :, :, None]).reshape(P, mhi - mlo, O, C, C)
+                Pc = side_chunk(Phi4, 1, kappa, kz0, kz1)
+                PcT = Pc.reshape(P, khi - klo, O, C, C)
+                # contraction over (node, component): XLA canonicalizes
+                # the dot operands to (P, fused-free, fused-oc) — large
+                # minor axes, no 27 -> 128 lane pads
+                Tk = jnp.einsum("pkocd,pmocf->pkdmf", PcT, Ac)
+                # patch-row read G2[q, k] = Tk[e(q, k), k] as a row gather
+                # (the lattice-reshape shift form picks lattice-minor
+                # layouts at this scale); off-lattice rows masked
+                G2 = Tk[e_idx[:, klo:khi],
+                        jnp.arange(khi - klo)[None, :]]
+                G2 = G2 * evalid[:, klo:khi, None, None, None]
+                # slot correlation with (k, m) contracted jointly and the
+                # (d, f) blocks passed through; output keeps S minor
+                M3blk = jnp.asarray(M3[klo:khi, mlo:mhi], self.dtype)
+                A_st = A_st + jnp.einsum(
+                    "pkdmf,kmj->pdfj", G2, M3blk,
+                    precision=jax.lax.Precision.HIGH).reshape(
+                        P, CC, self.n_stencil)
+        return jnp.swapaxes(A_st, 1, 2).reshape(
+            P, self.n_stencil, C, C)
 
     def _coarse_matvec_with(self, A_st, u: jnp.ndarray) -> jnp.ndarray:
         """Stencil matvec A_LOD u: the neighbor values u[q + delta] are
