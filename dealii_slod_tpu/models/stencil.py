@@ -180,6 +180,59 @@ class StencilOps:
             X = jnp.concatenate(parts, axis=slot_ax)
         return X.reshape((N ** dim, n_slots) + rest)
 
+    def _shift_slots_flat(self, X, slot_dims, sign=1, slot_base=None):
+        """`_shift_slots` on the FLAT lattice axis: one major-axis
+        slice + pad per slot plus a static validity mask, instead of
+        per-axis pad/slice stacks on a (N,..,N, slots.., rest) reshape.
+
+        Algebraically identical: for rows whose shifted coordinate stays
+        on the lattice the flat index shifts by ``dot(d, strides)``
+        (ravel is linear), and rows that leave the lattice on ANY axis
+        are zeroed by the mask — exactly the per-axis clipping.  The
+        reshape form makes XLA lay the intermediate out lattice-minor
+        (the concats act on lattice axes), lane-padding the small
+        trailing axes 4x at the refine-5 3D elasticity chunk shapes
+        (f32[32,32,32,1,5,5,81]: 1012 MB, 759 MB of it padding); this
+        form keeps every tensor (E, slots, rest) with the large fused
+        ``rest`` minor."""
+        cfg = self.cfg
+        dim = cfg.dim
+        N = cfg.n_coarse
+        ell = cfg.oversampling
+        if isinstance(slot_dims, (int, np.integer)):
+            slot_dims = (int(slot_dims),) * dim
+        slot_dims = tuple(int(k) for k in slot_dims)
+        rest = X.shape[2:]
+        n_slots = X.shape[1]
+        if n_slots != int(np.prod(slot_dims)):
+            raise ValueError("slot axis does not match the slot grid")
+        E = X.shape[0]
+        coords = cartesian_coords(np.asarray(slot_dims))    # (ns, dim)
+        base = np.zeros(dim, int) if slot_base is None else \
+            np.asarray(slot_base, int)
+        cells = cartesian_coords(np.full(dim, N))           # (E, dim)
+        strides = N ** np.arange(dim)
+        rest_pad = [(0, 0)] * len(rest)
+        rest_none = (None,) * len(rest)
+        parts = []
+        for k in range(n_slots):
+            dvec = sign * (ell - (coords[k] + base))
+            dflat = int(dvec @ strides)
+            Xk = X[:, k]
+            if dflat >= 0:
+                lo = min(dflat, E)
+                Xs = jax.lax.slice_in_dim(Xk, lo, E, axis=0)
+                Xs = jnp.pad(Xs, [(0, lo)] + rest_pad)
+            else:
+                hi = max(E + dflat, 0)
+                Xs = jax.lax.slice_in_dim(Xk, 0, hi, axis=0)
+                Xs = jnp.pad(Xs, [(E - hi, 0)] + rest_pad)
+            valid = ((cells + dvec >= 0) & (cells + dvec < N)).all(-1)
+            Xs = Xs * jnp.asarray(valid.astype(np.float32),
+                                  X.dtype)[(slice(None),) + rest_none]
+            parts.append(Xs)
+        return jnp.stack(parts, axis=1)
+
     def _slot_match_matrix(self):
         """Dense 0/1 matrix M[(k1, k2), j] of the slot-correlation relation
         k2 == k1 - delta_j (flattened over the extended slot grid) — the
@@ -316,7 +369,14 @@ class StencilOps:
             else:
                 break
 
-        own = jnp.asarray(tab["own"].astype(np.float32), Phi.dtype)
+        # every tensor in this build is rank-3 with a large minor axis:
+        # XLA's layout assignment lane-pads any tiny trailing axis
+        # (27 -> 128, 36 -> 128: 4-6x expansions measured on the 6D
+        # einsum form at refine-5 3D elasticity), so the basis-column
+        # axes (d, f) are peeled into static Python loops and the
+        # component axis c is fused into the gather index itself
+        own_oc = np.repeat(tab["own"][:, 0, :], C, axis=1)     # (E, O*C)
+        own_oc = jnp.asarray(own_oc.astype(np.float32), Phi.dtype)
         M3 = np.asarray(self._slot_match_matrix()).reshape(
             K, K2, self.n_stencil)
         e_idx = jnp.asarray(tab["e_idx"])
@@ -324,58 +384,86 @@ class StencilOps:
         Phi4 = Phi.reshape(P, self.canvas_n, C, C)
         APhi4 = APhi.reshape(P, self.canvas_n, C, C)
 
-        def side_chunk(X, which, spa, z0, z1):
+        def node_gather(X4, which, spa, z0, z1):
+            """One canvas node gather per (side, chunk) — shared by all C
+            basis columns (a flat (node, component, column) gather would
+            need the canvas reshaped to (P, nodes C^2), and that reshape
+            materialized two full-canvas copies: 2 x 1.46 GB measured)."""
             pl = spa ** (dim - 1)
             lo, hi = z0 * pl, z1 * pl
             cn = jnp.asarray(tab[f"cnode{which}"][lo:hi].reshape(-1))
-            Y = jnp.take(X, cn, axis=1)          # (P, nsel*O, C, C)
+            return jnp.take(X4, cn, axis=1), lo, hi   # (P, ns*O, C, C)
+
+        def side_from(Y4, which, spa, z0, z1, col, lo, hi):
+            """(P, chunk-slots, O*C) side table for basis column ``col``
+            from the shared node gather: the contraction axis (node,
+            component) comes out fused — every downstream tensor is
+            rank-3 with a large minor axis."""
+            Y = Y4[:, :, :, col]                      # (P, ns*O, C)
             incv = jnp.asarray(
                 tab[f"incv{which}"][lo:hi].reshape(-1).astype(np.float32),
-                X.dtype)
-            Y = Y * incv[None, :, None, None]
-            Y = Y.reshape(P, hi - lo, O * CC)
+                Y.dtype)
+            Y = Y * incv[None, :, None]
+            Y = Y.reshape(P, hi - lo, O * C)
             dims = (spa,) * (dim - 1) + (z1 - z0,)
             base = (0,) * (dim - 1) + (z0,)
-            return self._shift_slots(Y, dims, slot_base=base)
+            return self._shift_slots_flat(Y, dims, slot_base=base)
 
-        # accumulate in (P, CC, S) layout: the minor axis stays the large
-        # stencil extent instead of C^2 (which would lane-pad CC -> 128);
-        # transposed once at the very end
-        A_st = jnp.zeros((P, CC, self.n_stencil), self.dtype)
+        # per-(d, f) accumulators (P, S): stacked/transposed once at the
+        # very end (accumulating (P, S, CC) directly would lane-pad CC)
+        A_parts = [jnp.zeros((P, self.n_stencil), self.dtype)
+                   for _ in range(CC)]
         for mz0 in range(0, kappa + 1, zm):
             mz1 = min(kappa + 1, mz0 + zm)
             mlo, mhi = mz0 * plane2, mz1 * plane2
             for kz0 in range(0, kappa, zk):
                 kz1 = min(kappa, kz0 + zk)
                 klo, khi = kz0 * plane1, kz1 * plane1
+                kc = khi - klo
                 # hard sequencing: without it XLA schedules many chunk
                 # pairs' side tables live at once (the pairs only share
-                # the A_st accumulation chain) — measured 57 GB HBM
+                # the accumulation chain) — measured 57 GB HBM
                 # requirement at refine-5 3D elasticity
-                A_st, Phi4, APhi4 = jax.lax.optimization_barrier(
-                    (A_st, Phi4, APhi4))
-                Ac = side_chunk(APhi4, 2, kappa + 1, mz0, mz1)
-                Ac = (Ac.reshape(P, mhi - mlo, O, CC)
-                      * own[:, :, :, None]).reshape(P, mhi - mlo, O, C, C)
-                Pc = side_chunk(Phi4, 1, kappa, kz0, kz1)
-                PcT = Pc.reshape(P, khi - klo, O, C, C)
-                # contraction over (node, component): XLA canonicalizes
-                # the dot operands to (P, fused-free, fused-oc) — large
-                # minor axes, no 27 -> 128 lane pads
-                Tk = jnp.einsum("pkocd,pmocf->pkdmf", PcT, Ac)
-                # patch-row read G2[q, k] = Tk[e(q, k), k] as a row gather
-                # (the lattice-reshape shift form picks lattice-minor
-                # layouts at this scale); off-lattice rows masked
-                G2 = Tk[e_idx[:, klo:khi],
-                        jnp.arange(khi - klo)[None, :]]
-                G2 = G2 * evalid[:, klo:khi, None, None, None]
-                # slot correlation with (k, m) contracted jointly and the
-                # (d, f) blocks passed through; output keeps S minor
-                M3blk = jnp.asarray(M3[klo:khi, mlo:mhi], self.dtype)
-                A_st = A_st + jnp.einsum(
-                    "pkdmf,kmj->pdfj", G2, M3blk,
-                    precision=jax.lax.Precision.HIGH).reshape(
-                        P, CC, self.n_stencil)
+                seq = jax.lax.optimization_barrier(
+                    tuple(A_parts) + (Phi4, APhi4))
+                A_parts = list(seq[:CC])
+                Phi4, APhi4 = seq[CC], seq[CC + 1]
+                M3blk = jnp.asarray(
+                    M3[klo:khi, mlo:mhi].reshape(kc * (mhi - mlo),
+                                                 self.n_stencil),
+                    self.dtype)
+                gidx = (e_idx[:, klo:khi],
+                        jnp.arange(kc)[None, :])
+                ev = evalid[:, klo:khi, None]
+                Ac4, alo, ahi = node_gather(APhi4, 2, kappa + 1, mz0, mz1)
+                Pc4, plo, phi_ = node_gather(Phi4, 1, kappa, kz0, kz1)
+                pc_ds = [side_from(Pc4, 1, kappa, kz0, kz1, d, plo, phi_)
+                         for d in range(C)]
+                for f in range(C):
+                    # sequence the (f, d) sub-chains too: they only share
+                    # Ac4/pc_ds, so XLA otherwise schedules several
+                    # 0.6 GB Ac_f/G2 temps live at once (4+ measured in
+                    # the refine-5 3D elasticity OOM report)
+                    if C > 1:
+                        seq = jax.lax.optimization_barrier(
+                            tuple(A_parts) + (Ac4,) + tuple(pc_ds))
+                        A_parts = list(seq[:CC])
+                        Ac4 = seq[CC]
+                        pc_ds = list(seq[CC + 1:])
+                    Ac_f = side_from(Ac4, 2, kappa + 1, mz0, mz1, f,
+                                     alo, ahi)
+                    Ac_f = Ac_f * own_oc[:, None, :]
+                    for d in range(C):
+                        # (P, kc, O C) x (P, mc, O C) -> (P, kc, mc)
+                        Tk = jnp.einsum("pko,pmo->pkm", pc_ds[d], Ac_f)
+                        # patch-row read G2[q, k] = Tk[e(q, k), k] (row
+                        # gather; off-lattice rows masked)
+                        G2 = Tk[gidx] * ev
+                        A_parts[d * C + f] = A_parts[d * C + f] + jnp.einsum(
+                            "px,xj->pj",
+                            G2.reshape(P, kc * (mhi - mlo)), M3blk,
+                            precision=jax.lax.Precision.HIGH)
+        A_st = jnp.stack(A_parts, axis=1)          # (P, CC, S)
         return jnp.swapaxes(A_st, 1, 2).reshape(
             P, self.n_stencil, C, C)
 
