@@ -252,8 +252,13 @@ def _run(chunk_div: int = 1, eig_lax: bool = False,
     # elasticity triples the per-patch component count; at the 3D refine-3
     # config chunk=256 exceeds the v5e's 15.75G HBM by ~37M (measured OOM,
     # r4 session) — halve the default there so the elasticity bench fits.
+    # At refine>=5 (32768 patches) the per-chunk dense-canvas temps put
+    # chunk=128 ~1.6G over HBM (measured, r05 s3) — halve again.
     chunk = max(32, int(env("BENCH_CHUNK",
-                            128 if (problem == "elasticity" and dim == 3)
+                            64 if (problem == "elasticity" and dim == 3
+                                   and refine >= 5)
+                            else 128 if (problem == "elasticity"
+                                         and dim == 3)
                             else 256)) // chunk_div)
     reps = int(env("BENCH_REPS", 5))
     degraded = []

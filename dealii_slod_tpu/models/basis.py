@@ -28,6 +28,12 @@ from dealii_slod_tpu.ops.assembly import assemble_dense, make_subcell_matrices
 from dealii_slod_tpu.ops.solvers import (cholesky_factor, cholesky_solve,
                                          spd_inverse)
 
+# _window_stack switches to the sequential z-slab build above this output
+# size (the one-shot stacked intermediate gets a 4x lane pad at 3D scale
+# configs); each slab's output is bounded by _WINDOW_SLAB_TARGET.
+_WINDOW_SLAB_BYTES = 256 * 2 ** 20
+_WINDOW_SLAB_TARGET = 128 * 2 ** 20
+
 
 def smallk_k_eff(cD: int, dtype, smallk_dirs: int) -> int:
     """Direction count for the hoisted smallk spectral stage.
@@ -876,21 +882,48 @@ class BasisKernels:
         131 MB lane-hostile transpose); the stacks build the target layout
         directly: after processing the grid axes the array is
         (P_z, P_y, P_x, tail, o_z, o_y, o_x) and one moveaxis + reshape
-        lands (P, n_win, tail) with the x-fastest window ravel."""
+        lands (P, n_win, tail) with the x-fastest window ravel.
+
+        Above ``_WINDOW_SLAB_BYTES`` of output the build runs as a
+        sequential ``lax.map`` over slabs of the first lattice axis: XLA
+        lays the full stacked (P_z, P_y, P_x, tail, o_z, o_y, o_x)
+        intermediate out lattice-minor (the stacks act on lattice axes)
+        with a 32->128 lane pad — a 4x-padded 3.9 GB HLO temp at the 3D
+        refine-5 elasticity config (measured HBM OOM, r05 s3).  Slabbing
+        bounds that temp at ~``_WINDOW_SLAB_TARGET`` while keeping the
+        output ordering bit-identical (axis 0 is the major patch axis)."""
         cfg = self.cfg
         dim, s, N = cfg.dim, cfg.n_subdivisions, cfg.n_coarse
         pad = cfg.oversampling * s
         tail = X.shape[-1]
         X = jnp.pad(X, [(pad, pad)] * dim + [(0, 0)])
-        for a in range(dim):
-            parts = [
-                jax.lax.slice_in_dim(X, o, o + s * (N - 1) + 1, stride=s,
-                                     axis=a)
-                for o in range(win)
-            ]
-            X = jnp.stack(parts, axis=-1)
-        X = jnp.moveaxis(X, dim, -1)       # tail behind the offset axes
-        return X.reshape(N ** dim, win ** dim, tail)
+
+        def stack_axes(Xs, n0):
+            for a in range(dim):
+                n_a = n0 if a == 0 else N
+                parts = [
+                    jax.lax.slice_in_dim(Xs, o, o + s * (n_a - 1) + 1,
+                                         stride=s, axis=a)
+                    for o in range(win)
+                ]
+                Xs = jnp.stack(parts, axis=-1)
+            Xs = jnp.moveaxis(Xs, dim, -1)  # tail behind the offset axes
+            return Xs.reshape(n0 * N ** (dim - 1), win ** dim, tail)
+
+        out_bytes = N ** dim * win ** dim * tail * X.dtype.itemsize
+        if dim > 1 and out_bytes > _WINDOW_SLAB_BYTES:
+            per_z = out_bytes // N
+            zb = max(z for z in range(1, N + 1)
+                     if N % z == 0
+                     and (z == 1 or z * per_z <= _WINDOW_SLAB_TARGET))
+            if zb < N:
+                L = s * (zb - 1) + win
+                slabs = jax.lax.map(
+                    lambda z0: stack_axes(
+                        jax.lax.dynamic_slice_in_dim(X, z0, L, axis=0), zb),
+                    jnp.arange(N // zb) * (zb * s))
+                return slabs.reshape(N ** dim, win ** dim, tail)
+        return stack_axes(X, N)
 
     def _rhs_windows(self, fem_rhs: jnp.ndarray) -> jnp.ndarray:
         """Canvas-node windows of the fine rhs: (n_nodes, C) ->

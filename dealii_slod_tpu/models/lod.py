@@ -364,8 +364,14 @@ class LODSolver(BasisKernels, StencilOps):
             n_chunks, idx = pad_idx(B)
             g_j = (None if self._use_coef_windows()
                    else jnp.asarray(np.ascontiguousarray(gsub[idx])))
+            # idx == arange(B) whenever B divides the chunk size; skip the
+            # traced windows[idx] reorder there — XLA materializes the
+            # identity gather as a full copy (1.0 GB per coefficient at
+            # the 3D refine-5 elasticity config, measured HBM OOM r05 s3)
+            idx_j = (None if np.array_equal(idx, np.arange(B))
+                     else jnp.asarray(idx))
             batches.append(
-                (jnp.asarray(np.arange(B)), g_j, jnp.asarray(idx),
+                (jnp.asarray(np.arange(B)), g_j, idx_j,
                  (jnp.asarray(nlo[idx]), jnp.asarray(nhi[idx]),
                   jnp.asarray(sides[idx])),
                  n_chunks, B, self._uniform_chunk_fn()))
@@ -393,8 +399,10 @@ class LODSolver(BasisKernels, StencilOps):
             APhi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
             for pids, gsub, idx, extras, n_chunks, B, vfn in batches:
                 if gsub is None:
-                    cl = [self._coef_windows(coefs[k])[idx]
+                    cl = [self._coef_windows(coefs[k])
                           for k in self.coef_names]
+                    if idx is not None:
+                        cl = [c[idx] for c in cl]
                 else:
                     cl = [coefs[k][gsub] for k in self.coef_names]
                 if n_chunks == 1:
