@@ -394,9 +394,23 @@ class LODSolver(BasisKernels, StencilOps):
             with jax.default_matmul_precision(self.cfg.matmul_precision):
                 return _step_inner(coefs, fem_rhs)
 
+        # one batch covering every patch in order (uniform mode): the
+        # canvases ARE the chunk-map output — the .at[pids].set identity
+        # scatter copied it into fresh zero canvases (2 x 1.55G
+        # AllocateBuffer temps at the 3D refine-5 elasticity config,
+        # measured HBM OOM r05 s3)
+        full_cover = (len(batches) == 1
+                      and np.array_equal(np.asarray(batches[0][0]),
+                                         np.arange(P)))
+
         def _step_inner(coefs, fem_rhs):
-            Phi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
-            APhi = constrain(jnp.zeros((P, self.canvas_n, C, C), self.dtype))
+            if full_cover:
+                Phi = APhi = None
+            else:
+                Phi = constrain(
+                    jnp.zeros((P, self.canvas_n, C, C), self.dtype))
+                APhi = constrain(
+                    jnp.zeros((P, self.canvas_n, C, C), self.dtype))
             for pids, gsub, idx, extras, n_chunks, B, vfn in batches:
                 if gsub is None:
                     cl = [self._coef_windows(coefs[k])
@@ -419,8 +433,11 @@ class LODSolver(BasisKernels, StencilOps):
                     aphi_c = aphi_c.reshape((-1,) + aphi_c.shape[2:])[:B]
                 phi_c = phi_c[:B].reshape(B, -1, C, C)
                 aphi_c = aphi_c[:B].reshape(B, -1, C, C)
-                Phi = Phi.at[pids].set(phi_c)
-                APhi = APhi.at[pids].set(aphi_c)
+                if full_cover:
+                    Phi, APhi = constrain(phi_c), constrain(aphi_c)
+                else:
+                    Phi = Phi.at[pids].set(phi_c)
+                    APhi = APhi.at[pids].set(aphi_c)
             A_st = constrain(self._stencil_build(Phi, APhi))
             f_at = (self._rhs_windows(fem_rhs)
                     if self.cfg.kernel_mode == "uniform"
