@@ -218,6 +218,23 @@ def main():
             last_err = traceback.format_exc()
             print(f"bench: attempt with knobs {knobs} failed:\n{last_err}",
                   file=sys.stderr)
+            # release the failed attempt's device footprint before the
+            # degraded retry: jit caches pin executables + their captured
+            # constants, and any arrays the failed _run transferred stay
+            # alive until collected — measured: after a refine-5 compile
+            # OOM the chunk/2 retry died RESOURCE_EXHAUSTED transferring
+            # an 8 MB array (r05 s3 bench_el5_fullcover.log)
+            import gc
+            try:
+                jax.clear_caches()
+            except Exception:
+                pass
+            gc.collect()
+            try:
+                for arr in jax.live_arrays():
+                    arr.delete()
+            except Exception:
+                pass
     _emit_stale_or_exit(
         "bench: all degraded attempts failed; last error:\n" + last_err)
 

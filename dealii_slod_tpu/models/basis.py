@@ -884,14 +884,19 @@ class BasisKernels:
         (P_z, P_y, P_x, tail, o_z, o_y, o_x) and one moveaxis + reshape
         lands (P, n_win, tail) with the x-fastest window ravel.
 
-        Above ``_WINDOW_SLAB_BYTES`` of output the build runs as a
-        sequential ``lax.map`` over slabs of the first lattice axis: XLA
-        lays the full stacked (P_z, P_y, P_x, tail, o_z, o_y, o_x)
-        intermediate out lattice-minor (the stacks act on lattice axes)
-        with a 32->128 lane pad — a 4x-padded 3.9 GB HLO temp at the 3D
-        refine-5 elasticity config (measured HBM OOM, r05 s3).  Slabbing
-        bounds that temp at ~``_WINDOW_SLAB_TARGET`` while keeping the
-        output ordering bit-identical (axis 0 is the major patch axis)."""
+        Above ``_WINDOW_SLAB_BYTES`` of output the build runs slab-wise
+        over the first lattice axis: XLA lays the full stacked
+        (P_z, P_y, P_x, tail, o_z, o_y, o_x) intermediate out
+        lattice-minor (the stacks act on lattice axes) with a 32->128
+        lane pad — a 4x-padded 3.9 GB HLO temp at the 3D refine-5
+        elasticity config (measured HBM OOM, r05 s3).  Slabbing bounds
+        that temp at ~``_WINDOW_SLAB_TARGET`` while keeping the output
+        ordering bit-identical (axis 0 is the major patch axis).  The
+        slabs land via an unrolled static ``dynamic_update_slice`` chain
+        rather than ``lax.map``: the map's while-carry accumulator was
+        copied at the loop boundary (2 x 1.00 GB ``copy(while)`` HLO
+        temps at the refine-5 elasticity config), while the DUS chain
+        updates one buffer in place and sequences the slab temps."""
         cfg = self.cfg
         dim, s, N = cfg.dim, cfg.n_subdivisions, cfg.n_coarse
         pad = cfg.oversampling * s
@@ -918,11 +923,15 @@ class BasisKernels:
                      and (z == 1 or z * per_z <= _WINDOW_SLAB_TARGET))
             if zb < N:
                 L = s * (zb - 1) + win
-                slabs = jax.lax.map(
-                    lambda z0: stack_axes(
-                        jax.lax.dynamic_slice_in_dim(X, z0, L, axis=0), zb),
-                    jnp.arange(N // zb) * (zb * s))
-                return slabs.reshape(N ** dim, win ** dim, tail)
+                rows = zb * N ** (dim - 1)
+                out = jnp.zeros((N ** dim, win ** dim, tail), X.dtype)
+                for i in range(N // zb):
+                    slab = stack_axes(
+                        jax.lax.slice_in_dim(X, i * zb * s, i * zb * s + L,
+                                             axis=0), zb)
+                    out = jax.lax.dynamic_update_slice_in_dim(
+                        out, slab, i * rows, axis=0)
+                return out
         return stack_axes(X, N)
 
     def _rhs_windows(self, fem_rhs: jnp.ndarray) -> jnp.ndarray:
