@@ -417,6 +417,15 @@ class LODSolver(BasisKernels, StencilOps):
                           for k in self.coef_names]
                     if idx is not None:
                         cl = [c[idx] for c in cl]
+                    else:
+                        # the identity gather this skip removed also acted
+                        # as a fusion barrier: without it XLA fuses the
+                        # strided window slice-stack into the chunked
+                        # consumer and trips a TransformWindow CHECK at
+                        # the 3D refine-4 chunk=256 config (compiler
+                        # SIGABRT, bench_s3_default.log).  The barrier
+                        # restores the fusion break at zero copy cost.
+                        cl = list(jax.lax.optimization_barrier(tuple(cl)))
                 else:
                     cl = [coefs[k][gsub] for k in self.coef_names]
                 if n_chunks == 1:
