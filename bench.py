@@ -271,11 +271,17 @@ def _run(chunk_div: int = 1, eig_lax: bool = False,
     # r4 session) — halve the default there so the elasticity bench fits.
     # At refine>=5 (32768 patches) the per-chunk dense-canvas temps put
     # chunk=128 ~1.6G over HBM (measured, r05 s3) — halve again.
+    # Diffusion north star (3D refine-4): chunk=128 beats 256 since the
+    # identity gather/scatter skips landed (4704.4 vs 4522.4 patches/s,
+    # both chip-measured 5-rep runs, r05 s3) — fewer live per-chunk temps
+    # win over amortizing the chunk-map overhead across fewer steps.
+    # Other diffusion configs keep the measured-best 256.
     chunk = max(32, int(env("BENCH_CHUNK",
                             64 if (problem == "elasticity" and dim == 3
                                    and refine >= 5)
                             else 128 if (problem == "elasticity"
                                          and dim == 3)
+                            else 128 if (dim == 3 and refine == 4)
                             else 256)) // chunk_div)
     reps = int(env("BENCH_REPS", 5))
     degraded = []
