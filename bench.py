@@ -255,6 +255,20 @@ def _orchestrate():
 
 def _run(chunk_div: int = 1, eig_lax: bool = False,
          solver_lax: bool = False):
+    # Test-only fault injection (tests/test_bench_resilience.py): since
+    # every ladder attempt runs in its own subprocess, the resilience
+    # tests cannot monkeypatch _run — they inject failures through the
+    # environment instead, so the REAL orchestrator/worker path is what
+    # gets exercised.  BENCH_FAULT='{"always": true}' fails every
+    # attempt; '{"unless": "eig_lax"}' fails any attempt whose knobs do
+    # not set eig_lax.
+    fault = os.environ.get("BENCH_FAULT")
+    if fault:
+        spec = json.loads(fault)
+        knobs = {"chunk_div": chunk_div > 1, "eig_lax": eig_lax,
+                 "solver_lax": solver_lax}
+        if spec.get("always") or not knobs.get(spec.get("unless", "")):
+            raise RuntimeError("BENCH_FAULT injected failure")
     from dealii_slod_tpu.config import ReductionControl, SLODConfig
     from dealii_slod_tpu.models import DiffusionProblem, LODSolver
 

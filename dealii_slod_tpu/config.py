@@ -325,6 +325,11 @@ class SLODConfig:
                                       # (P, n_sub) gather); auto-disabled
                                       # under constant-coefficient cache
                                       # semantics
+    window_chunk: str = "auto"        # in-body per-chunk window extraction
+                                      # from the padded lattice: "auto"
+                                      # (above the slab-size threshold,
+                                      # when chunks tile whole x-rows),
+                                      # "on" (whenever legal), "off"
     eig_tol: float = 1e-12            # squared-row-cosine convergence
                                       # threshold for the adaptive monitor
                                       # (0 = fixed eig_sweeps sweeps)

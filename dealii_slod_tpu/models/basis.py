@@ -932,7 +932,81 @@ class BasisKernels:
                     out = jax.lax.dynamic_update_slice_in_dim(
                         out, slab, i * rows, axis=0)
                 return out
-        return stack_axes(X, N)
+        # The one-shot stack needs a fusion barrier: with the identity
+        # patch-index gather skipped (lod.py), XLA fuses the strided
+        # slice-stack straight into the chunked consumer and trips a
+        # TransformWindow CHECK (compiler SIGABRT at the 3D refine-4
+        # chunk=256 config, bench_s3_default.log).  The slab path above
+        # needs none (the DUS chain already bounds fusion) — and a
+        # barrier there costs a full-size layout copy (2 x 1.00 GB at
+        # the 3D refine-5 elasticity config, measured OOM report).
+        return jax.lax.optimization_barrier(stack_axes(X, N))
+
+    def _coef_lattice(self, coef: jnp.ndarray) -> jnp.ndarray:
+        """Zero-padded fine-cell coefficient lattice
+        (grid_1+2p, ..., grid_dim+2p, nq) — the small (~12 MB at 3D
+        refine-5) source array for per-chunk window extraction."""
+        cfg = self.cfg
+        grid = _rev(self.grid.fine_cell_dims)
+        pad = cfg.oversampling * cfg.n_subdivisions
+        X = coef.reshape(grid + (coef.shape[-1],))
+        return jnp.pad(X, [(pad, pad)] * cfg.dim + [(0, 0)])
+
+    def _window_chunk_rows(self, B: int, n_chunks: int):
+        """Patch x-rows per chunk when in-body window extraction is legal:
+        every chunk must cover whole consecutive x-rows (chunk % N == 0)
+        that do not straddle a z-plane in 3D (N % R == 0), over the full
+        lex-ordered patch set.  Returns R or None."""
+        cfg = self.cfg
+        N = cfg.n_coarse
+        if cfg.dim < 2 or B != N ** cfg.dim or n_chunks <= 1:
+            return None
+        chunk, rem = divmod(B, n_chunks)
+        if rem or chunk % N:
+            return None
+        R = chunk // N
+        if cfg.dim == 3 and N % R:
+            return None
+        return R
+
+    def _window_stack_chunk(self, Xpad: jnp.ndarray, chunk_idx, R: int,
+                            win: int) -> jnp.ndarray:
+        """Windows for one chunk of ``R`` consecutive patch x-rows,
+        extracted from the padded lattice INSIDE the chunk loop ->
+        (R*N, win^dim, tail).
+
+        Same per-axis strided slice-stacks as `_window_stack`, applied to
+        a dynamically-sliced sub-lattice (starts are multiples of s), so
+        the output is bit-identical to the corresponding rows of the full
+        build.  Exists because the full precomputed window array at the
+        3D refine-5 elasticity config is 1.00 GB per coefficient PLUS a
+        full-size layout copy into the chunk consumer's layout (measured
+        OOM report, r05 s3) — per-chunk extraction never materializes
+        either."""
+        cfg = self.cfg
+        dim, s, N = cfg.dim, cfg.n_subdivisions, cfg.n_coarse
+        tail = Xpad.shape[-1]
+        if dim == 2:
+            y0 = chunk_idx * R
+            starts = (y0 * s, 0, 0)
+            sizes = (s * (R - 1) + win, Xpad.shape[1], tail)
+            counts = (R, N)
+        else:
+            rows = chunk_idx * R
+            starts = ((rows // N) * s, (rows % N) * s, 0, 0)
+            sizes = (win, s * (R - 1) + win, Xpad.shape[2], tail)
+            counts = (1, R, N)
+        sub = jax.lax.dynamic_slice(
+            Xpad, [jnp.asarray(v, jnp.int32) for v in starts], sizes)
+        for a in range(dim):
+            parts = [
+                jax.lax.slice_in_dim(sub, o, o + s * (counts[a] - 1) + 1,
+                                     stride=s, axis=a)
+                for o in range(win)
+            ]
+            sub = jnp.stack(parts, axis=-1)
+        sub = jnp.moveaxis(sub, dim, -1)
+        return sub.reshape(R * N, win ** dim, tail)
 
     def _rhs_windows(self, fem_rhs: jnp.ndarray) -> jnp.ndarray:
         """Canvas-node windows of the fine rhs: (n_nodes, C) ->

@@ -44,7 +44,7 @@ from dealii_slod_tpu.utils.errors import ConvergenceTable
 from dealii_slod_tpu.utils.timers import StageTimer
 
 
-from dealii_slod_tpu.models.basis import BasisKernels
+from dealii_slod_tpu.models.basis import _WINDOW_SLAB_BYTES, BasisKernels
 from dealii_slod_tpu.models.stencil import StencilOps
 
 
@@ -412,21 +412,34 @@ class LODSolver(BasisKernels, StencilOps):
                 APhi = constrain(
                     jnp.zeros((P, self.canvas_n, C, C), self.dtype))
             for pids, gsub, idx, extras, n_chunks, B, vfn in batches:
-                if gsub is None:
+                # in-body window extraction: when the chunks tile whole
+                # patch x-rows in lex order, each chunk's coefficient
+                # windows come straight off the small padded lattice
+                # inside the loop body — the full precomputed window
+                # array (1.00 GB per coefficient + a full-size layout
+                # copy at the 3D refine-5 elasticity config, measured
+                # OOM) never materializes.  Gated to the slab-size class
+                # (same threshold as _window_stack) unless forced.
+                wrows = None
+                if gsub is None and idx is None:
+                    mode = getattr(self.cfg, "window_chunk", "auto")
+                    wrows = (None if mode == "off"
+                             else self._window_chunk_rows(B, n_chunks))
+                    if wrows is not None and mode == "auto":
+                        win = ((2 * self.cfg.oversampling + 1)
+                               * self.cfg.n_subdivisions)
+                        out_bytes = max(
+                            B * win ** self.cfg.dim
+                            * coefs[k].shape[-1] * coefs[k].dtype.itemsize
+                            for k in self.coef_names)
+                        if out_bytes <= _WINDOW_SLAB_BYTES:
+                            wrows = None
+                if gsub is None and wrows is None:
                     cl = [self._coef_windows(coefs[k])
                           for k in self.coef_names]
                     if idx is not None:
                         cl = [c[idx] for c in cl]
-                    else:
-                        # the identity gather this skip removed also acted
-                        # as a fusion barrier: without it XLA fuses the
-                        # strided window slice-stack into the chunked
-                        # consumer and trips a TransformWindow CHECK at
-                        # the 3D refine-4 chunk=256 config (compiler
-                        # SIGABRT, bench_s3_default.log).  The barrier
-                        # restores the fusion break at zero copy cost.
-                        cl = list(jax.lax.optimization_barrier(tuple(cl)))
-                else:
+                elif gsub is not None:
                     cl = [coefs[k][gsub] for k in self.coef_names]
                 if n_chunks == 1:
                     phi_c, aphi_c = vfn([constrain(c) for c in cl],
@@ -434,10 +447,28 @@ class LODSolver(BasisKernels, StencilOps):
                 else:
                     def resh(a):
                         return a.reshape((n_chunks, -1) + a.shape[1:])
-                    phi_c, aphi_c = jax.lax.map(
-                        lambda t: vfn(list(t[0]), *t[1:]),
-                        (tuple(resh(c) for c in cl),)
-                        + tuple(resh(e) for e in extras))
+                    if wrows is not None:
+                        win = ((2 * self.cfg.oversampling + 1)
+                               * self.cfg.n_subdivisions)
+                        lats = [self._coef_lattice(coefs[k])
+                                for k in self.coef_names]
+
+                        def body(t, _R=wrows, _win=win, _lats=lats,
+                                 _vfn=vfn):
+                            cl_j = [self._window_stack_chunk(L, t[0], _R,
+                                                             _win)
+                                    for L in _lats]
+                            return _vfn(cl_j, *t[1:])
+
+                        phi_c, aphi_c = jax.lax.map(
+                            body,
+                            (jnp.arange(n_chunks, dtype=jnp.int32),)
+                            + tuple(resh(e) for e in extras))
+                    else:
+                        phi_c, aphi_c = jax.lax.map(
+                            lambda t: vfn(list(t[0]), *t[1:]),
+                            (tuple(resh(c) for c in cl),)
+                            + tuple(resh(e) for e in extras))
                     phi_c = phi_c.reshape((-1,) + phi_c.shape[2:])[:B]
                     aphi_c = aphi_c.reshape((-1,) + aphi_c.shape[2:])[:B]
                 phi_c = phi_c[:B].reshape(B, -1, C, C)

@@ -36,29 +36,22 @@ def _last_json_line(captured: str) -> dict:
 
 def test_ladder_recovers_from_default_config_failure(bench, monkeypatch,
                                                      capsys):
-    real_run = bench._run
-    calls = []
-
-    def flaky_run(**kw):
-        calls.append(kw)
-        if not kw.get("eig_lax"):
-            raise RuntimeError("synthetic pallas compile failure")
-        return real_run(**kw)
-
-    monkeypatch.setattr(bench, "_run", flaky_run)
+    # Each ladder attempt is its own subprocess (the in-process cleanup
+    # it replaced was measured insufficient after a compile OOM), so the
+    # failure is injected via BENCH_FAULT in the inherited environment —
+    # the REAL orchestrator/worker path is what runs here.
+    monkeypatch.setenv("BENCH_FAULT", json.dumps({"unless": "eig_lax"}))
     bench.main()
-    out = _last_json_line(capsys.readouterr().out)
+    captured = capsys.readouterr()
+    out = _last_json_line(captured.out)
     assert out["unit"] == "patches/s" and out["value"] > 0
     assert "eig_solver=lax" in out["detail"]["degraded"]
-    # ladder walked: default, chunk/2, then the first eig_lax rung
-    assert len(calls) == 3
+    # ladder walked: default and chunk/2 failed, then the eig_lax rung
+    assert captured.err.count("failed (rc=") == 2
 
 
 def test_total_failure_replays_stale_record(bench, monkeypatch, capsys):
-    def dead_run(**kw):
-        raise RuntimeError("synthetic: every configuration fails")
-
-    monkeypatch.setattr(bench, "_run", dead_run)
+    monkeypatch.setenv("BENCH_FAULT", json.dumps({"always": True}))
     with pytest.raises(SystemExit) as exc:
         bench.main()
     assert exc.value.code == 0   # stale replay is a SUCCESSFUL exit
