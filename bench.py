@@ -348,6 +348,7 @@ def _run(chunk_div: int = 1, eig_lax: bool = False,
         split_bs=int(env("BENCH_SPLIT_BS", 4)),
         panel_gj_bs=int(env("BENCH_GJBS", 16)),
         coef_windows=env("BENCH_COEF_WINDOWS", "1") == "1",
+        window_chunk=env("BENCH_WINDOW_CHUNK", "auto"),
         matmul_precision=env("BENCH_PREC", "high"),
         coarse_solve=env("BENCH_COARSE", "cg"),
         stencil_side_budget_mb=int(env("BENCH_SIDE_MB", 2048)),
